@@ -1,0 +1,312 @@
+"""Differentiable ODE/CDE integration, TPU-native.
+
+Replaces ``diffrax.diffeqsolve`` as used by every reference model
+(src/models/graph_neural_cde.py:94-104, tgb_graph_neural_cde.py:143-162,
+pgt_graph_neural_cde.py:110-130, ...). Design:
+
+  * The whole solve is ONE XLA program: a ``lax.scan`` over a static step
+    budget with done-masking (differentiable path, used in training), or a
+    ``lax.while_loop`` with early exit (inference path). No data-dependent
+    Python control flow.
+  * Gradients flow by backprop-through-the-solver with sqrt-checkpointing:
+    the scan is chunked and each chunk wrapped in ``jax.checkpoint``, giving
+    O(sqrt(max_steps)) live residual states -- the scan analogue of diffrax's
+    RecursiveCheckpointAdjoint default (reference passes no ``adjoint=``).
+  * Step-size control matches diffrax's ``PIDController(rtol, atol)`` default
+    coefficients (pcoeff=0, icoeff=1 => classic I-controller), with Hairer's
+    initial-step heuristic when ``dt0=None`` (graph_neural_cde.py:86).
+  * Dense output: accepted steps are Hermite-interpolated onto the requested
+    ``SaveAt(ts=...)`` grid with a masked scatter -- save times never
+    constrain step placement.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+
+from .tableaus import ButcherTableau, get_tableau
+
+
+# ---------------------------------------------------------------------------
+# Public API dataclasses
+# ---------------------------------------------------------------------------
+
+
+class ODETerm:
+    """Wraps a vector field ``vf(t, y, args) -> dy/dt``."""
+
+    def __init__(self, vf):
+        self.vf = vf
+
+    def __call__(self, t, y, args):
+        return self.vf(t, y, args)
+
+
+@dataclasses.dataclass(frozen=True)
+class SaveAt:
+    ts: tp.Optional[jax.Array] = None
+    t1: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class PIDController:
+    """I-controller with diffrax-compatible defaults (PID with p=d=0)."""
+
+    rtol: float = 1e-3
+    atol: float = 1e-6
+    safety: float = 0.9
+    factormin: float = 0.2
+    factormax: float = 10.0
+
+
+@dataclasses.dataclass(frozen=True)
+class ConstantStepSize:
+    pass
+
+
+@dataclasses.dataclass
+class Solution:
+    ts: tp.Optional[jax.Array]
+    ys: jax.Array
+    stats: tp.Dict[str, jax.Array]
+    success: jax.Array
+
+
+# ---------------------------------------------------------------------------
+# RK stepping
+# ---------------------------------------------------------------------------
+
+
+def _rk_step(tab: ButcherTableau, vf, t, y, h, args, f0):
+    """One explicit RK step. Returns (y1, err, f1, k0) with FSAL reuse of f0."""
+    ks = []
+    for i in range(tab.num_stages):
+        if i == 0:
+            ki = f0
+        else:
+            acc = None
+            for j, aij in enumerate(tab.a[i]):
+                if aij == 0.0:
+                    continue
+                term = aij * ks[j]
+                acc = term if acc is None else acc + term
+            yi = y if acc is None else y + h * acc
+            ki = vf(t + tab.c[i] * h, yi, args)
+        ks.append(ki)
+
+    acc = None
+    for i, bi in enumerate(tab.b):
+        if bi == 0.0:
+            continue
+        term = bi * ks[i]
+        acc = term if acc is None else acc + term
+    y1 = y + h * acc
+
+    if tab.b_err:
+        eacc = None
+        for i, bi in enumerate(tab.b_err):
+            if bi == 0.0:
+                continue
+            term = bi * ks[i]
+            eacc = term if eacc is None else eacc + term
+        err = h * eacc
+    else:
+        err = jnp.zeros_like(y)
+
+    if tab.fsal:
+        f1 = ks[-1]
+    else:
+        f1 = vf(t + h, y1, args)
+    return y1, err, f1
+
+
+def _hermite_eval(theta, h, y0, f0, y1, f1):
+    """Cubic Hermite dense output on one step; theta in [0,1], broadcastable."""
+    t2 = theta * theta
+    t3 = t2 * theta
+    h00 = 2 * t3 - 3 * t2 + 1
+    h10 = t3 - 2 * t2 + theta
+    h01 = -2 * t3 + 3 * t2
+    h11 = t3 - t2
+    return h00 * y0 + h10 * h * f0 + h01 * y1 + h11 * h * f1
+
+
+def _initial_step(vf, t0, y0, args, f0, rtol, atol, error_order):
+    """Hairer-Norsett-Wanner automatic initial step size."""
+    scale = atol + rtol * jnp.abs(y0)
+    d0 = jnp.sqrt(jnp.mean((y0 / scale) ** 2))
+    d1 = jnp.sqrt(jnp.mean((f0 / scale) ** 2))
+    h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / d1)
+    y1 = y0 + h0 * f0
+    f1 = vf(t0 + h0, y1, args)
+    d2 = jnp.sqrt(jnp.mean(((f1 - f0) / scale) ** 2)) / h0
+    dmax = jnp.maximum(d1, d2)
+    h1 = jnp.where(
+        dmax <= 1e-15,
+        jnp.maximum(1e-6, h0 * 1e-3),
+        (0.01 / dmax) ** (1.0 / error_order),
+    )
+    return jnp.minimum(100.0 * h0, h1)
+
+
+# ---------------------------------------------------------------------------
+# Main driver
+# ---------------------------------------------------------------------------
+
+
+def _chunk_sizes(max_steps: int) -> tp.Tuple[int, int]:
+    inner = max(1, int(math.ceil(math.sqrt(max_steps))))
+    outer = int(math.ceil(max_steps / inner))
+    return outer, inner
+
+
+def diffeqsolve(
+    terms: ODETerm,
+    solver: tp.Union[str, ButcherTableau],
+    t0,
+    t1,
+    dt0,
+    y0: jax.Array,
+    args=None,
+    stepsize_controller=None,
+    saveat: tp.Optional[SaveAt] = None,
+    max_steps: int = 1024,
+    adjoint: str = "checkpointed",
+) -> Solution:
+    """Integrate ``dy/dt = vf(t, y, args)`` from t0 to t1.
+
+    adjoint: "checkpointed" (differentiable bounded scan) or "none"
+    (while_loop with early exit; faster for inference, not differentiable).
+    """
+    tab = get_tableau(solver)
+    vf = terms.vf if isinstance(terms, ODETerm) else terms
+    if stepsize_controller is None:
+        stepsize_controller = PIDController()
+    if saveat is None:
+        saveat = SaveAt(t1=True)
+    adaptive = isinstance(stepsize_controller, PIDController)
+
+    dtype = jnp.result_type(y0.dtype, jnp.float32)
+    t0 = jnp.asarray(t0, dtype)
+    t1 = jnp.asarray(t1, dtype)
+    y0 = jnp.asarray(y0)
+
+    f0 = vf(t0, y0, args)
+
+    if adaptive:
+        ctrl: PIDController = stepsize_controller
+        if dt0 is None:
+            h_init = _initial_step(
+                vf, t0, y0, args, f0, ctrl.rtol, ctrl.atol, tab.error_order
+            )
+        else:
+            h_init = jnp.asarray(dt0, dtype)
+    else:
+        if dt0 is None:
+            raise ValueError("ConstantStepSize requires dt0")
+        h_init = jnp.asarray(dt0, dtype)
+
+    if saveat.ts is not None:
+        ts_save = jnp.asarray(saveat.ts, dtype)
+    else:
+        ts_save = t1[None]
+    n_save = ts_save.shape[0]
+
+    # Initial save fill: any save time at/before t0 gets y0.
+    init_mask = ts_save <= t0
+    ys_buf = jnp.where(
+        init_mask.reshape((-1,) + (1,) * y0.ndim), y0[None], jnp.zeros((n_save,) + y0.shape, y0.dtype)
+    )
+
+    def step_once(carry):
+        t, y, f, h, ys, n_acc, n_rej = carry
+        done = t >= t1
+        h_clip = jnp.minimum(h, t1 - t)
+        h_clip = jnp.maximum(h_clip, jnp.asarray(0.0, dtype))
+        # When done, take a dummy tiny step (results discarded by masking).
+        h_eff = jnp.where(done, jnp.asarray(1.0, dtype), h_clip)
+
+        y1, err, f1 = _rk_step(tab, vf, t, y, h_eff, args, f)
+
+        if adaptive:
+            scale = ctrl.atol + ctrl.rtol * jnp.maximum(jnp.abs(y), jnp.abs(y1))
+            err_ratio = jnp.sqrt(jnp.mean((err / scale) ** 2))
+            finite = jnp.isfinite(err_ratio)
+            accept = (err_ratio <= 1.0) & finite
+            inv = jnp.where(err_ratio == 0.0, jnp.inf, 1.0 / err_ratio)
+            factor = jnp.clip(
+                ctrl.safety * inv ** (1.0 / tab.error_order),
+                ctrl.factormin,
+                ctrl.factormax,
+            )
+            factor = jnp.where(finite, factor, ctrl.factormin)
+            h_next = h_eff * factor
+        else:
+            accept = jnp.asarray(True)
+            h_next = h
+
+        accept = accept & ~done
+        # Snap the final step onto t1 exactly (avoids 1-ulp float stalls).
+        is_last = h >= (t1 - t)
+        t_new = jnp.where(accept, jnp.where(is_last, t1, t + h_eff), t)
+        y_new = jnp.where(accept, y1, y)
+        f_new = jnp.where(accept, f1, f)
+        h_new = jnp.where(done, h, h_next)
+
+        # Dense-output save on accepted interval (t, t_new].
+        theta = (ts_save - t) / h_eff
+        smask = (ts_save > t) & (ts_save <= t_new) & accept
+        theta_b = theta.reshape((-1,) + (1,) * y.ndim)
+        y_interp = _hermite_eval(theta_b, h_eff, y[None], f[None], y1[None], f1[None])
+        ys_new = jnp.where(smask.reshape((-1,) + (1,) * y.ndim), y_interp, ys)
+
+        n_acc = n_acc + accept.astype(jnp.int32)
+        n_rej = n_rej + ((~accept) & ~done).astype(jnp.int32)
+        return (t_new, y_new, f_new, h_new, ys_new, n_acc, n_rej)
+
+    carry0 = (
+        t0,
+        y0,
+        f0,
+        h_init,
+        ys_buf,
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+    )
+
+    if adjoint == "none":
+        def cond(carry):
+            t, _, _, _, _, n_acc, n_rej = carry
+            return (t < t1) & (n_acc + n_rej < max_steps)
+
+        carry = jax.lax.while_loop(cond, step_once, carry0)
+    else:
+        outer, inner = _chunk_sizes(max_steps)
+
+        @jax.checkpoint
+        def chunk(carry):
+            def body(c, _):
+                return step_once(c), None
+
+            c, _ = jax.lax.scan(body, carry, None, length=inner)
+            return c
+
+        def outer_body(c, _):
+            return chunk(c), None
+
+        carry, _ = jax.lax.scan(outer_body, carry0, None, length=outer)
+
+    t_fin, y_fin, _, _, ys, n_acc, n_rej = carry
+    success = t_fin >= t1
+
+    if saveat.ts is None:
+        ys_out = ys[0]
+    else:
+        ys_out = ys
+    stats = {"num_accepted_steps": n_acc, "num_rejected_steps": n_rej}
+    return Solution(ts=saveat.ts, ys=ys_out, stats=stats, success=success)

