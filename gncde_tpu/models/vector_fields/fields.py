@@ -1,0 +1,376 @@
+"""Graph vector fields (the functions integrated by the CDE/ODE solvers).
+
+Re-implements every vector field in reference src/models/vector_fields/
+with the fused message-passing layers from layers.py. Call signature follows
+the solver convention ``vf(t, y, args) -> dy/dt`` (reference:
+perm_equiv_graph_vector_field.py:85-129).
+
+Control-path channel layout (set by the data layer, reference
+dataset_configs.py:160-165): channel 0 is the time index, channel -1 the
+adjacency value, so ``evaluate(t)[..., -1]`` is A(t) and
+``derivative(t)[..., 0]`` the time-channel gradient.
+"""
+
+from __future__ import annotations
+
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+
+from ...nn import Module, Linear, MLP, Embedding, static_field
+from .layers import (
+    ConvLayer,
+    ConvEquivFusionLayer,
+    ConvEquivFusionDirectedLayer,
+    ConvPreMultFusionLayer,
+)
+from ..neural_nets import IdxEncoder
+
+
+def _make_stack(layer_cls, input_dim, hidden_dim, output_dim, num_layers, key, **kw):
+    """num_layers-1 hidden layers + one output layer, reference key order
+    (perm_equiv_graph_vector_field.py:47-61)."""
+    layers = []
+    for _ in range(num_layers - 1):
+        tempkey, key = jr.split(key, 2)
+        layers.append(layer_cls(input_dim=input_dim, output_dim=hidden_dim, key=tempkey, **kw))
+        input_dim = hidden_dim
+    tempkey, key = jr.split(key, 2)
+    layers.append(layer_cls(input_dim=input_dim, output_dim=output_dim, key=tempkey, **kw))
+    return layers, key
+
+
+def _run_stack(layers, node_features, *mp_args):
+    for i, layer in enumerate(layers):
+        node_features = layer(node_features, *mp_args)
+        if i < len(layers) - 1:
+            node_features = jax.nn.relu(node_features)
+    return node_features
+
+
+def _time_scale(t_gradient_matrix: jax.Array, node_features: jax.Array) -> jax.Array:
+    """Per-node time-gradient scaling (reference .py:127-128)."""
+    t_gradient = jnp.mean(t_gradient_matrix, axis=0)  # [nodes]
+    return t_gradient[:, None] * node_features
+
+
+class PermEquivGraphVectorField(Module):
+    """Undirected permutation-equivariant vf (perm_equiv_graph_vector_field.py).
+
+    Note: the reference's ``enc_idx=True`` branch references commented-out
+    fields and crashes (SURVEY.md section 7.4); here enc_idx is rejected at
+    construction -- use :class:`PermEquivDirGraphVectorField` for enc_idx.
+    """
+
+    gnn_layers: list
+    data_embed_dim: int = static_field()
+    num_nodes: int = static_field()
+    enc_idx: bool = static_field()
+
+    def __init__(
+        self,
+        input_dim: int,
+        hidden_dim: int,
+        output_dim: int,
+        num_layers: int,
+        data_embed_dim: int,
+        num_nodes: int,
+        enc_idx: bool = False,
+        enc_type: str = "mlp",
+        idx_dim: int = 512,
+        *,
+        key: jax.Array,
+    ):
+        if enc_idx:
+            raise ValueError(
+                "enc_idx is only supported by PermEquivDirGraphVectorField "
+                "(the reference's undirected enc_idx path is dead code)."
+            )
+        self.gnn_layers, key = _make_stack(
+            ConvEquivFusionLayer, input_dim, hidden_dim, output_dim, num_layers, key
+        )
+        self.data_embed_dim = data_embed_dim
+        self.num_nodes = num_nodes
+        self.enc_idx = enc_idx
+
+    def __call__(self, t, y, args):
+        node_features, control_adj = y, args
+        adj = control_adj.evaluate(t)[..., -1]
+        deriv = control_adj.derivative(t)
+        adj_derivative = deriv[..., -1]
+        out = _run_stack(self.gnn_layers, node_features, adj, adj_derivative)
+        return _time_scale(deriv[..., 0], out)
+
+
+class PermEquivDirGraphVectorField(Module):
+    """Directed 11-term vf with optional node-index message modulation
+    (perm_equiv_dir_graph_vector_field.py:10-130)."""
+
+    gnn_layers: list
+    idx_enc: IdxEncoder
+    msg_func_adj: MLP
+    msg_func_adj_deriv: MLP
+    data_embed_dim: int = static_field()
+    num_nodes: int = static_field()
+    enc_idx: bool = static_field()
+
+    def __init__(
+        self,
+        input_dim: int,
+        hidden_dim: int,
+        output_dim: int,
+        num_layers: int,
+        data_embed_dim: int,
+        num_nodes: int,
+        enc_idx: bool = False,
+        enc_type: str = "mlp",
+        idx_dim: int = 512,
+        *,
+        key: jax.Array,
+    ):
+        self.gnn_layers, key = _make_stack(
+            ConvEquivFusionDirectedLayer,
+            input_dim,
+            hidden_dim,
+            output_dim,
+            num_layers,
+            key,
+        )
+        self.data_embed_dim = data_embed_dim
+        self.num_nodes = num_nodes
+        self.enc_idx = enc_idx
+
+        idx_enc_key, msg_func_adj_key, msg_func_adj_deriv_key = jr.split(key, 3)
+        self.idx_enc = IdxEncoder(num_nodes, idx_dim, key=idx_enc_key, type=enc_type)
+        self.msg_func_adj = MLP(
+            in_size=2 * idx_dim + 1, out_size=1, width_size=8, depth=2,
+            key=msg_func_adj_key,
+        )
+        self.msg_func_adj_deriv = MLP(
+            in_size=2 * idx_dim + 1, out_size=1, width_size=8, depth=2,
+            key=msg_func_adj_deriv_key,
+        )
+
+    def _modulate(self, mat: jax.Array, mlp: MLP, pairwise_emb: jax.Array) -> jax.Array:
+        feats = jnp.concatenate([mat[:, :, None], pairwise_emb], axis=-1)
+        out = jax.vmap(jax.vmap(mlp))(feats)
+        return jnp.squeeze(out, axis=-1)
+
+    def __call__(self, t, y, args):
+        node_features, control_adj = y, args
+        adj = control_adj.evaluate(t)[..., -1]
+        deriv = control_adj.derivative(t)
+        adj_derivative = deriv[..., -1]
+
+        if self.enc_idx:
+            pairwise_emb = self.idx_enc()
+            adj = self._modulate(adj, self.msg_func_adj, pairwise_emb)
+            adj_derivative = self._modulate(
+                adj_derivative, self.msg_func_adj_deriv, pairwise_emb
+            )
+
+        out = _run_stack(self.gnn_layers, node_features, adj, adj_derivative)
+        return _time_scale(deriv[..., 0], out)
+
+
+class GraphVectorField(Module):
+    """Message matrix = A(t) + dA(t) (graph_vector_field.py:95)."""
+
+    gnn_layers: list
+    data_embed_dim: int = static_field()
+    num_nodes: int = static_field()
+    enc_idx: bool = static_field()
+
+    def __init__(
+        self,
+        input_dim: int,
+        hidden_dim: int,
+        output_dim: int,
+        num_layers: int,
+        data_embed_dim: int,
+        num_nodes: int,
+        enc_idx: bool = False,
+        enc_type: str = "mlp",
+        idx_dim: int = 512,
+        *,
+        key: jax.Array,
+    ):
+        if enc_idx:
+            raise ValueError("enc_idx unsupported for GraphVectorField (dead in ref)")
+        self.gnn_layers, key = _make_stack(
+            ConvLayer, input_dim, hidden_dim, output_dim, num_layers, key
+        )
+        self.data_embed_dim = data_embed_dim
+        self.num_nodes = num_nodes
+        self.enc_idx = enc_idx
+
+    def __call__(self, t, y, args):
+        node_features, control_adj = y, args
+        adj = control_adj.evaluate(t)
+        deriv = control_adj.derivative(t)
+        message = adj[..., -1] + deriv[..., -1]
+        out = _run_stack(self.gnn_layers, node_features, message)
+        return _time_scale(deriv[..., 0], out)
+
+
+class GNODEVectorField(Module):
+    """Message matrix = A(t) only (gnode_vector_field.py:72)."""
+
+    gnn_layers: list
+
+    def __init__(
+        self,
+        input_dim: int,
+        hidden_dim: int,
+        output_dim: int,
+        data_embed_dim: int,
+        num_nodes: int,
+        num_layers: int,
+        *,
+        key: jax.Array,
+    ):
+        self.gnn_layers, key = _make_stack(
+            ConvLayer, input_dim, hidden_dim, output_dim, num_layers, key
+        )
+
+    def __call__(self, t, y, args):
+        node_features, control_adj = y, args
+        adj = control_adj.evaluate(t)
+        deriv = control_adj.derivative(t)
+        out = _run_stack(self.gnn_layers, node_features, adj[..., -1])
+        return _time_scale(deriv[..., 0], out)
+
+
+class GNODEFloorVectorField(Module):
+    """Piecewise-constant adjacency indexed by event time
+    (gnode_floor_vector_field.py:149-165)."""
+
+    gnn_layers: list
+
+    def __init__(
+        self,
+        input_dim: int,
+        hidden_dim: int,
+        output_dim: int,
+        num_layers: int,
+        *,
+        key: jax.Array,
+    ):
+        self.gnn_layers, key = _make_stack(
+            ConvLayer, input_dim, hidden_dim, output_dim, num_layers, key
+        )
+
+    def __call__(self, t, y, args):
+        node_features = y
+        if len(args) == 3:
+            control_adj, adjacency_list, events_time = args
+            index = jnp.searchsorted(events_time, t, side="right") - 1
+            index = jnp.clip(index, 0, events_time.shape[0] - 1)
+        elif len(args) == 2:
+            control_adj, adjacency_list = args
+            index = jnp.asarray(jnp.floor(t), jnp.int32)
+        else:
+            raise ValueError("Invalid number of arguments")
+
+        deriv = control_adj.derivative(t)
+        message = adjacency_list[index]
+        out = _run_stack(self.gnn_layers, node_features, message)
+        return _time_scale(deriv[..., 0], out)
+
+
+class PreMultFusionGraphVectorField(Module):
+    """Dense premultiplication-fusion ablation
+    (pre_mult_fusion_graph_vector_field.py)."""
+
+    gnn_layers: list
+    data_embed_dim: int = static_field()
+
+    def __init__(
+        self,
+        input_dim: int,
+        hidden_dim: int,
+        output_dim: int,
+        data_embed_dim: int,
+        num_layers: int,
+        num_nodes: int = 400,
+        *,
+        key: jax.Array,
+    ):
+        self.data_embed_dim = data_embed_dim
+        # Reference hardcodes 400x400 fusion matrices regardless of num_nodes
+        # (layers.py:390-391); honour num_nodes when given, else 400.
+        nn_ = num_nodes if num_nodes and num_nodes > 0 else 400
+        self.gnn_layers, key = _make_stack(
+            ConvPreMultFusionLayer,
+            input_dim,
+            hidden_dim,
+            output_dim,
+            num_layers,
+            key,
+            num_nodes=nn_,
+        )
+
+    def __call__(self, t, y, args):
+        node_features, control_adj = y, args
+        adj = control_adj.evaluate(t)
+        deriv = control_adj.derivative(t)
+        out = _run_stack(self.gnn_layers, node_features, adj[..., -1], deriv[..., -1])
+        return _time_scale(deriv[..., 0], out)
+
+
+class MLPVectorField(Module):
+    """Per-node MLP over [y, t] (mlp_vector_field.py)."""
+
+    mlp: MLP
+
+    def __init__(
+        self,
+        input_dim: int,
+        hidden_dim: int,
+        output_dim: int,
+        num_layers: int,
+        *,
+        key: jax.Array,
+        **_,
+    ):
+        self.mlp = MLP(
+            in_size=input_dim + 1,
+            out_size=output_dim,
+            width_size=hidden_dim,
+            depth=num_layers,
+            activation="relu",
+            key=key,
+        )
+
+    def __call__(self, t, y, args):
+        t_col = jnp.broadcast_to(jnp.asarray(t), (y.shape[0],))[:, None]
+        y = jnp.concatenate([y, t_col], axis=-1)
+        return jax.vmap(self.mlp)(y)
+
+
+class ConstVectorField(Module):
+    """Learnable constant drift (const_vector_field.py) -- sanity baseline."""
+
+    bias: jax.Array
+    data_embed_dim: int = static_field()
+    num_nodes: int = static_field()
+
+    def __init__(
+        self,
+        input_dim: int,
+        hidden_dim: int,
+        output_dim: int,
+        num_layers: int,
+        data_embed_dim: int,
+        num_nodes: int,
+        *,
+        key: jax.Array,
+    ):
+        self.bias = jr.uniform(key, (output_dim,), minval=-1.0, maxval=1.0)
+        self.data_embed_dim = data_embed_dim
+        self.num_nodes = num_nodes
+
+    def __call__(self, t, y, args):
+        return jnp.broadcast_to(self.bias, y.shape)

@@ -105,7 +105,15 @@ class Module(metaclass=_ModuleMeta):
         return f"{type(self).__name__}({', '.join(parts)})"
 
     def replace(self, **updates) -> "Module":
-        return dataclasses.replace(self, **updates)
+        """Structural field replacement (bypasses the custom ``__init__``)."""
+        cls = type(self)
+        new = object.__new__(cls)
+        for f in dataclasses.fields(self):
+            value = updates.pop(f.name, getattr(self, f.name))
+            object.__setattr__(new, f.name, value)
+        if updates:
+            raise TypeError(f"Unknown fields in replace: {sorted(updates)}")
+        return new
 
 
 # ---------------------------------------------------------------------------

@@ -201,8 +201,8 @@ def diffeqsolve(
     if adaptive:
         ctrl: PIDController = stepsize_controller
         if dt0 is None:
-            h_init = _initial_step(
-                vf, t0, y0, args, f0, ctrl.rtol, ctrl.atol, tab.error_order
+            h_init = jax.lax.stop_gradient(
+                _initial_step(vf, t0, y0, args, f0, ctrl.rtol, ctrl.atol, tab.error_order)
             )
         else:
             h_init = jnp.asarray(dt0, dtype)
@@ -224,7 +224,7 @@ def diffeqsolve(
     )
 
     def step_once(carry):
-        t, y, f, h, ys, n_acc, n_rej = carry
+        t, y, f, h, ys, n_acc, n_rej, just_rejected = carry
         done = t >= t1
         h_clip = jnp.minimum(h, t1 - t)
         h_clip = jnp.maximum(h_clip, jnp.asarray(0.0, dtype))
@@ -234,8 +234,12 @@ def diffeqsolve(
         y1, err, f1 = _rk_step(tab, vf, t, y, h_eff, args, f)
 
         if adaptive:
+            # Controller decisions are detached: step placement only moves the
+            # solution within tolerance, so gradients through accept/reject
+            # and dt adaptation are pure noise amplifiers (they otherwise
+            # compound multiplicatively across steps).
             scale = ctrl.atol + ctrl.rtol * jnp.maximum(jnp.abs(y), jnp.abs(y1))
-            err_ratio = jnp.sqrt(jnp.mean((err / scale) ** 2))
+            err_ratio = jax.lax.stop_gradient(jnp.sqrt(jnp.mean((err / scale) ** 2)))
             finite = jnp.isfinite(err_ratio)
             accept = (err_ratio <= 1.0) & finite
             inv = jnp.where(err_ratio == 0.0, jnp.inf, 1.0 / err_ratio)
@@ -245,11 +249,15 @@ def diffeqsolve(
                 ctrl.factormax,
             )
             factor = jnp.where(finite, factor, ctrl.factormin)
+            # Hairer anti-thrash rule: no step growth immediately after a
+            # rejection (prevents accept/reject oscillation at factormax).
+            factor = jnp.where(just_rejected, jnp.minimum(factor, 1.0), factor)
             h_next = h_eff * factor
         else:
             accept = jnp.asarray(True)
             h_next = h
 
+        h_next = jax.lax.stop_gradient(h_next)
         accept = accept & ~done
         # Snap the final step onto t1 exactly (avoids 1-ulp float stalls).
         is_last = h >= (t1 - t)
@@ -265,9 +273,11 @@ def diffeqsolve(
         y_interp = _hermite_eval(theta_b, h_eff, y[None], f[None], y1[None], f1[None])
         ys_new = jnp.where(smask.reshape((-1,) + (1,) * y.ndim), y_interp, ys)
 
+        rejected_now = (~accept) & ~done
         n_acc = n_acc + accept.astype(jnp.int32)
-        n_rej = n_rej + ((~accept) & ~done).astype(jnp.int32)
-        return (t_new, y_new, f_new, h_new, ys_new, n_acc, n_rej)
+        n_rej = n_rej + rejected_now.astype(jnp.int32)
+        just_rejected_new = jnp.where(done, just_rejected, rejected_now)
+        return (t_new, y_new, f_new, h_new, ys_new, n_acc, n_rej, just_rejected_new)
 
     carry0 = (
         t0,
@@ -277,11 +287,13 @@ def diffeqsolve(
         ys_buf,
         jnp.asarray(0, jnp.int32),
         jnp.asarray(0, jnp.int32),
+        jnp.asarray(False),
     )
 
     if adjoint == "none":
         def cond(carry):
-            t, _, _, _, _, n_acc, n_rej = carry
+            t = carry[0]
+            n_acc, n_rej = carry[5], carry[6]
             return (t < t1) & (n_acc + n_rej < max_steps)
 
         carry = jax.lax.while_loop(cond, step_once, carry0)
@@ -301,7 +313,7 @@ def diffeqsolve(
 
         carry, _ = jax.lax.scan(outer_body, carry0, None, length=outer)
 
-    t_fin, y_fin, _, _, ys, n_acc, n_rej = carry
+    t_fin, y_fin, _, _, ys, n_acc, n_rej, _ = carry
     success = t_fin >= t1
 
     if saveat.ts is None:
