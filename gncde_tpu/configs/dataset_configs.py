@@ -1,0 +1,132 @@
+"""Dataset configuration + cache layer (synthetic dynamical systems).
+
+Reference: src/configs/dataset_configs.py:35-458 (ODEDataSetCfg). The pydantic
+schema accepts the reference's YAML dataset blocks unchanged. Processed splits
+are pickled under ``cache_dir`` keyed by an md5 of the config, and the
+reference's seed-mutation quirk for decorrelating val/test
+(dataset_configs.py:404, 439: ``seed += 500 / 1000``) is preserved.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import logging
+import pickle
+import typing as tp
+from pathlib import Path
+
+import pydantic
+
+from ..data.ode_dataset import ODEDatasetSpec, generate
+from ..data import pipeline
+
+logger = logging.getLogger(__name__)
+
+
+class ODEDataSetCfg(pydantic.BaseModel):
+    name: tp.Literal["heat", "gene", "mutualistic", "sir"] = pydantic.Field(...)
+    batch_size: int = 1
+    dynamic_graph: bool = pydantic.Field(...)
+    all_dynamic: bool = pydantic.Field(...)
+    graph_type: tp.Literal[
+        "grid", "random", "power_law", "small_world", "community", "mixed"
+    ] = "grid"
+    split_ratio: tp.List = [0.8, 0.2]
+    num_nodes: int = 400
+    final_time: float = 5.0
+    time_tick: int = 100
+    sampling_type: tp.Literal["irregular", "equal"] = "irregular"
+    method: tp.Literal["Dopri5", "Tsit5"] = "Dopri5"
+    dt0: float = 0.01
+    layout: tp.Literal["community", "degree"] = "community"
+    operator_type: tp.Literal["lap", "norm_lap", "kipf", "norm_adj"] = "norm_lap"
+    padding_mode: tp.Literal["same", "none"] = "same"
+    cache_dir: str = "cache"
+    interpolation: tp.Literal["linear", "cubic"] = "cubic"
+    seed: int = 1234
+    amp_range: tp.Tuple = (0.5, 1.0)
+    beta: tp.Tuple[float, float] = (0.5, 1.0)
+    gamma: tp.Tuple[float, float] = (0.3, 1.0)
+
+    model_config = pydantic.ConfigDict(extra="forbid")
+
+    def _spec(self) -> ODEDatasetSpec:
+        return ODEDatasetSpec(
+            name=self.name,
+            batch_size=self.batch_size,
+            dynamic_graph=self.dynamic_graph,
+            all_dynamic=self.all_dynamic,
+            graph_type=self.graph_type,
+            split_ratio=tuple(self.split_ratio),
+            num_nodes=self.num_nodes,
+            final_time=self.final_time,
+            time_tick=self.time_tick,
+            sampling_type=self.sampling_type,
+            method=self.method,
+            dt0=self.dt0,
+            layout=self.layout,
+            operator_type=self.operator_type,
+            padding_mode=self.padding_mode,
+            seed=self.seed,
+            amp_range=tuple(self.amp_range),
+            beta=tuple(self.beta),
+            gamma=tuple(self.gamma),
+        )
+
+    def _hash_config(self) -> str:
+        config_dict = self.model_dump(exclude={"cache_dir"})
+        config_str = json.dumps(config_dict, sort_keys=True, default=str)
+        return hashlib.md5(config_str.encode()).hexdigest()
+
+    def _get_cache_path(self, config_hash: str, data_key: str) -> Path:
+        cache_dir = Path(self.cache_dir)
+        cache_dir.mkdir(parents=True, exist_ok=True)
+        return cache_dir / f"cache_{config_hash}_{data_key}.pkl"
+
+    def _load_or_compute(self, cache_path: Path, compute):
+        if cache_path.exists():
+            try:
+                with open(cache_path, "rb") as f:
+                    logger.info("Loaded cache from %s", cache_path)
+                    return pickle.load(f)
+            except Exception as e:  # noqa: BLE001 - cache corruption tolerated
+                logger.info("Cache load failed: %s. Computing fresh result.", e)
+        result = compute()
+        try:
+            with open(cache_path, "wb") as f:
+                pickle.dump(result, f)
+                logger.info("Saved cache to %s", cache_path)
+        except Exception as e:  # noqa: BLE001
+            logger.info("Cache save failed: %s", e)
+        return result
+
+    def get_training_data(self, train_data_key=None) -> tp.Dict:
+        cache_path = self._get_cache_path(self._hash_config(), "default_train")
+
+        def compute():
+            dataset = generate(self._spec())
+            return pipeline.get_split_train_data(self._spec(), dataset, self.interpolation)
+
+        return self._load_or_compute(cache_path, compute)
+
+    def get_validation_data(self, val_data_key=None) -> tp.Dict:
+        cache_path = self._get_cache_path(self._hash_config(), "default_test")
+        # Reference quirk: seed shifted to decorrelate the validation draw.
+        self.seed += 500
+
+        def compute():
+            dataset = generate(self._spec())
+            return pipeline.get_split_test_data(self._spec(), dataset, self.interpolation)
+
+        return self._load_or_compute(cache_path, compute)
+
+    def get_test_data(self, test_data_key=None) -> tp.Dict:
+        cache_path = self._get_cache_path(self._hash_config(), "default2_test")
+        self.seed += 1000
+
+        def compute():
+            dataset = generate(self._spec())
+            return pipeline.get_split_test_data(self._spec(), dataset, self.interpolation)
+
+        return self._load_or_compute(cache_path, compute)

@@ -1,0 +1,310 @@
+"""Dynamical-systems trainer (full-batch, inter/extra-polation evaluation).
+
+Reference: src/engine/trainer.py. The epoch loop, metric names, best-val
+checkpointing and patience early-stop match; additions over the reference:
+deterministic resume from a full-state checkpoint and solver-step stats.
+The jitted train step is a plain ``jax.jit`` (models are pytrees with static
+aux; no filtered-transform machinery needed).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import logging
+import os
+import random
+import time
+import typing as tp
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import optax
+import pydantic
+
+from ..nn import (
+    filter_value_and_grad,
+    partition,
+    is_inexact_array,
+    apply_updates,
+    num_params,
+)
+from ..models import GraphNeuralCDE, GraphNeuralODE
+from ..configs import (
+    WandBConfig,
+    GraphNeuralCDECfg,
+    GraphNeuralODECfg,
+    ODEDataSetCfg,
+    OptimiserCfg,
+    MSELossCfg,
+    L1LossCfg,
+)
+from .logging import MetricLogger
+from . import checkpoints
+
+logging.basicConfig(level=logging.INFO)
+
+
+def make_step_fn(optimiser: optax.GradientTransformation, loss: tp.Callable):
+    """Build the jitted training step (reference trainer.py:288-327)."""
+
+    @jax.jit
+    def step(model, opt_state, data_i):
+        loss_val, grads = filter_value_and_grad(loss)(model, data_i)
+
+        flat_grads = [
+            g for g in jax.tree_util.tree_leaves(grads) if g is not None
+        ]
+        max_grad = jnp.max(
+            jnp.abs(jnp.concatenate([g.ravel() for g in flat_grads]))
+        )
+
+        params, _ = partition(model, is_inexact_array)
+        updates, opt_state = optimiser.update(grads, opt_state, params)
+        model = apply_updates(model, updates)
+
+        flat_updates = [
+            u for u in jax.tree_util.tree_leaves(updates) if u is not None
+        ]
+        max_update = jnp.max(
+            jnp.abs(jnp.concatenate([u.ravel() for u in flat_updates]))
+        )
+        return loss_val, model, opt_state, max_grad, max_update
+
+    return step
+
+
+class Trainer(pydantic.BaseModel):
+    """Dyn-task trainer; YAML-compatible with the reference Trainer schema."""
+
+    wandb: WandBConfig = WandBConfig()
+    model: tp.Union[GraphNeuralCDECfg, GraphNeuralODECfg] = pydantic.Field(
+        ..., discriminator="name"
+    )
+    epochs: int = 2000
+    patience: int = -1
+    min_epochs: int = 100
+    seed: int = 1234
+    log_freq: int = 10
+    eval_freq: int = 10
+    checkpoint_dir: str = ".checkpoints/"
+    checkpoint_name: str = "model"
+    dataset: ODEDataSetCfg = pydantic.Field(...)
+    optimiser: OptimiserCfg = pydantic.Field(...)
+    loss: tp.Union[MSELossCfg, L1LossCfg] = pydantic.Field(..., discriminator="name")
+    logger_name: str = "gncde"
+    resume: bool = False
+    metrics_jsonl: tp.Optional[str] = None
+
+    model_config = pydantic.ConfigDict(extra="ignore")
+
+    def _hash_config(self) -> str:
+        config_str = json.dumps(self.model_dump(), sort_keys=True, default=str)
+        return hashlib.md5(config_str.encode()).hexdigest()
+
+    def run_initialisations(self):
+        random.seed(self.seed)
+        np.random.seed(self.seed)
+
+    def _data_tuple(self, model, d, t_key, coeffs_key, y_key, y0_key):
+        if isinstance(model, GraphNeuralODE):
+            return (
+                d[t_key],
+                d[coeffs_key],
+                d[y_key],
+                d[y0_key],
+                d["A"],
+                d["events_time"],
+            )
+        return (d[t_key], d[coeffs_key], d[y_key], d[y0_key])
+
+    def run(self) -> tp.Dict[str, float]:
+        self.run_initialisations()
+        config_hash = self._hash_config()
+        logger = logging.getLogger(self.logger_name)
+        logger.setLevel(logging.INFO)
+        logger.info(self)
+
+        trainer_key = jr.PRNGKey(self.seed)
+        train_data_key, val_data_key, test_data_key, model_key, optimiser_key = (
+            jr.split(trainer_key, 5)
+        )
+        train_data_dict = self.dataset.get_training_data(train_data_key)
+        val_data_dict = self.dataset.get_validation_data(val_data_key)
+        test_data_dict = self.dataset.get_test_data(test_data_key)
+        logger.info("Data loading done")
+
+        model = self.model.build(model_key)
+        optimiser, schedule = self.optimiser.build(optimiser_key)
+        params, _ = partition(model, is_inexact_array)
+        opt_state = optimiser.init(params)
+
+        loss = self.loss.build()
+        validation_loss_fn = jax.jit(self.loss.build_validation_loss())
+        step = make_step_fn(optimiser, loss)
+
+        metric_logger = MetricLogger(
+            project=self.wandb.project,
+            mode=self.wandb.mode,
+            jsonl_path=self.metrics_jsonl,
+            config=self.model_dump(),
+        )
+        metric_logger.log({"num_params": num_params(model)})
+
+        start_epoch = 0
+        best_validation_loss, corr_test_loss, best_epoch = np.inf, np.inf, 0
+        corr_test_l1_loss = np.inf
+        resume_dir = os.path.join(self.checkpoint_dir, f"{config_hash}_state")
+        if self.resume:
+            restored = checkpoints.load_state(
+                resume_dir,
+                checkpoints.TrainState(model, opt_state, 0, float("inf")),
+            )
+            if restored is not None:
+                model, opt_state = restored.model, restored.opt_state
+                start_epoch = restored.epoch + 1
+                best_validation_loss = restored.best_metric
+                logger.info("Resumed from epoch %d", start_epoch)
+
+        patience_counter = 0
+
+        train_data_i = self._data_tuple(
+            model, train_data_dict, "train_t", "train_graph_path_coeffs",
+            "train_true_y", "true_y0",
+        )
+        val_data_i = self._data_tuple(
+            model, train_data_dict, "t", "val_graph_path_coeffs", "true_y", "true_y0"
+        )
+        separate_val_data_i = self._data_tuple(
+            model, val_data_dict, "t", "test_graph_path_coeffs", "true_y", "true_y0"
+        )
+        test_data_i = self._data_tuple(
+            model, test_data_dict, "t", "test_graph_path_coeffs", "true_y", "true_y0"
+        )
+
+        for epoch in range(start_epoch, self.epochs):
+            start_time = time.time()
+            train_loss, model, opt_state, max_grad, max_update = step(
+                model, opt_state, train_data_i
+            )
+            train_loss.block_until_ready()
+            end_time = time.time()
+
+            metric_logger.log(
+                {
+                    "train_loss": train_loss,
+                    "train_step_time": end_time - start_time,
+                    "max_grad": max_grad,
+                    "max_update": max_update,
+                }
+            )
+
+            if epoch == 0 or (epoch + 1) % self.log_freq == 0:
+                logger.info(
+                    "Epoch: %04d, Train Loss: %s, Train Step Time: %.4fs, LR: %s",
+                    epoch + 1, train_loss, end_time - start_time, schedule(epoch),
+                )
+
+            if (epoch + 1) % self.eval_freq == 0:
+                total_validation_loss, total_validation_loss_l1 = validation_loss_fn(
+                    model, val_data_i
+                )
+                validation_ids_total = jnp.hstack(
+                    [train_data_dict["id_test_inter"], train_data_dict["id_test_extra"]]
+                )
+                validation_loss_inter = jnp.mean(
+                    total_validation_loss[:, train_data_dict["id_test_inter"]]
+                )
+                validation_loss_extra = jnp.mean(
+                    total_validation_loss[:, train_data_dict["id_test_extra"]]
+                )
+                validation_loss_total = jnp.mean(
+                    total_validation_loss[:, validation_ids_total]
+                )
+                validation_loss_l1_total = (
+                    jnp.mean(total_validation_loss_l1)
+                    if total_validation_loss_l1 is not None
+                    else jnp.nan
+                )
+
+                separate_val_loss, separate_val_l1 = validation_loss_fn(
+                    model, separate_val_data_i
+                )
+                separate_val_loss_total = jnp.mean(separate_val_loss)
+                separate_val_loss_l1_total = (
+                    jnp.mean(separate_val_l1) if separate_val_l1 is not None else jnp.nan
+                )
+
+                logger.info(
+                    "Epoch: %04d, Val Inter: %s, Val Extra: %s, Val Total: %s",
+                    epoch + 1, validation_loss_inter, validation_loss_extra,
+                    validation_loss_total,
+                )
+                metric_logger.log(
+                    {
+                        "validation_loss_inter": validation_loss_inter,
+                        "validation_loss_extra": validation_loss_extra,
+                        "validation_loss_total": validation_loss_total,
+                        "validation_loss_l1_total": validation_loss_l1_total,
+                        "separate_val_loss_total": separate_val_loss_total,
+                        "separate_val_loss_l1_total": separate_val_loss_l1_total,
+                        "validation_step_time": time.time() - end_time,
+                    }
+                )
+
+                if float(separate_val_loss_total) < best_validation_loss:
+                    patience_counter = 0
+                    best_validation_loss = float(separate_val_loss_total)
+                    best_epoch = epoch
+                    if self.checkpoint_dir:
+                        path = checkpoints.save_weights(
+                            os.path.join(self.checkpoint_dir, f"{config_hash}.npz"),
+                            model,
+                        )
+                        checkpoints.save_state(
+                            resume_dir,
+                            checkpoints.TrainState(
+                                model, opt_state, epoch, best_validation_loss
+                            ),
+                        )
+                        logger.info("Model saved at epoch %d to %s", epoch, path)
+
+                    test_loss_total, test_loss_l1_total = validation_loss_fn(
+                        model, test_data_i
+                    )
+                    corr_test_loss = float(jnp.mean(test_loss_total))
+                    corr_test_l1_loss = (
+                        float(jnp.mean(test_loss_l1_total))
+                        if test_loss_l1_total is not None
+                        else float("nan")
+                    )
+                    metric_logger.log({"test_loss": corr_test_loss})
+                else:
+                    patience_counter += 1
+                    if (
+                        self.patience > 0
+                        and patience_counter * self.eval_freq >= self.patience
+                        and epoch > self.min_epochs
+                    ):
+                        logger.info("Early stopping")
+                        break
+
+        logger.info(
+            "Best validation loss: %s, test loss: %s, L1 test loss: %s, epoch: %s",
+            best_validation_loss, corr_test_loss, corr_test_l1_loss, best_epoch,
+        )
+        metric_logger.log(
+            {
+                "validation_loss": best_validation_loss,
+                "corr_test_loss": corr_test_loss,
+                "best_epoch": best_epoch,
+            }
+        )
+        metric_logger.close()
+        return {
+            "validation_loss": best_validation_loss,
+            "corr_test_loss": corr_test_loss,
+            "best_epoch": best_epoch,
+        }
