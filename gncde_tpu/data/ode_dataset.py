@@ -214,6 +214,9 @@ def generate(spec: ODEDatasetSpec) -> ODEDatasetResult:
         events_time, event_indices = gen_events_happen_time(
             t, event_times, spec.split_ratio, spec.all_dynamic, rng=rng
         )
+        # Small time grids may not fit the requested event count; clamp to
+        # what was actually sampled so segments and graphs stay aligned.
+        event_times = len(event_indices)
         A_list, D_list, L_list = gen_events_happen_graph(
             A, event_times, spec.event_p, rng=rng
         )
