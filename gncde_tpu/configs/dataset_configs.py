@@ -16,10 +16,14 @@ import pickle
 import typing as tp
 from pathlib import Path
 
+import numpy as np
 import pydantic
 
 from ..data.ode_dataset import ODEDatasetSpec, generate
 from ..data import pipeline
+from ..data import windows as win
+from ..data import tgb as tgb_data
+from ..data import pgt as pgt_data
 
 logger = logging.getLogger(__name__)
 
@@ -130,3 +134,113 @@ class ODEDataSetCfg(pydantic.BaseModel):
             return pipeline.get_split_test_data(self._spec(), dataset, self.interpolation)
 
         return self._load_or_compute(cache_path, compute)
+
+
+class _WindowedDataSetCfg(pydantic.BaseModel):
+    """Shared machinery for windowed temporal datasets (TGB + PGT).
+
+    Mirrors the cache/window behaviour of the reference's TGBDataSetCfg /
+    PGTDataSetCfg (dataset_configs.py:461-1223) through one base class
+    instead of two near-clones.
+    """
+
+    window_size: int = 5
+    stride: int = 1
+    split_ratio: tp.List[float] = [0.6, 0.2, 0.2]
+    interpolation: tp.Literal["linear", "cubic"] = "cubic"
+    cache_dir: str = ".cache"
+    seed: int = 1234
+
+    def _hash_config(self) -> str:
+        config_dict = self.model_dump(exclude={"cache_dir"})
+        config_str = json.dumps(config_dict, sort_keys=True, default=str)
+        return hashlib.md5(config_str.encode()).hexdigest()
+
+    def _get_cache_path(self, config_hash: str, data_key: str) -> Path:
+        cache_dir = Path(self.cache_dir)
+        cache_dir.mkdir(parents=True, exist_ok=True)
+        return cache_dir / f"cache_{config_hash}_{data_key}.pkl"
+
+    def _load_or_compute(self, cache_path: Path, compute):
+        if cache_path.exists():
+            try:
+                with open(cache_path, "rb") as f:
+                    logger.info("Loaded cache from %s", cache_path)
+                    return pickle.load(f)
+            except Exception as e:  # noqa: BLE001
+                logger.info("Cache load failed: %s. Computing fresh result.", e)
+        result = compute()
+        try:
+            with open(cache_path, "wb") as f:
+                pickle.dump(result, f)
+                logger.info("Saved cache to %s", cache_path)
+        except Exception as e:  # noqa: BLE001
+            logger.info("Cache save failed: %s", e)
+        return result
+
+    # Subclasses provide _load_snapshots() and _process_window(window).
+    def _split_windows(self):
+        snapshots = self._load_snapshots()
+        rng = np.random.default_rng(self.seed)
+        train_s, val_s, test_s = win.sample_disjoint_window_starts(
+            len(snapshots), self.window_size, self.stride, self.split_ratio, rng
+        )
+        w = self.window_size
+        return (
+            [snapshots[s : s + w] for s in train_s],
+            [snapshots[s : s + w] for s in val_s],
+            [snapshots[s : s + w] for s in test_s],
+        )
+
+    def _get_loader(self, split_idx: int, data_key: str) -> win.WindowLoader:
+        cache_path = self._get_cache_path(self._hash_config(), data_key)
+
+        def compute():
+            splits = self._split_windows()
+            return [self._process_window(wnd) for wnd in splits[split_idx]]
+
+        return win.WindowLoader(self._load_or_compute(cache_path, compute))
+
+    def get_training_data(self, train_data_key=None) -> win.WindowLoader:
+        return self._get_loader(0, "default_train")
+
+    def get_validation_data(self, val_data_key=None) -> win.WindowLoader:
+        return self._get_loader(1, "default_val")
+
+    def get_test_data(self, test_data_key=None) -> win.WindowLoader:
+        return self._get_loader(2, "default2_test")
+
+
+class TGBDataSetCfg(_WindowedDataSetCfg):
+    """TGB node-property windows (reference dataset_configs.py:461-903)."""
+
+    name: tp.Literal["tgbn-trade", "tgbn-genre"] = "tgbn-trade"
+    frequency: tp.Literal["None", "daily", "weekly", "monthly", "yearly"] = "None"
+    data_dir: str = "datasets"
+    normalise_features: bool = False
+    recompile: bool = False
+
+    model_config = pydantic.ConfigDict(extra="forbid")
+
+    def _load_snapshots(self):
+        edges = tgb_data.load_tgb_edgelist(self.name, self.data_dir)
+        return tgb_data.process_snapshots(edges, self.frequency)
+
+    def _process_window(self, window):
+        return win.process_window_tgb(
+            window, self.interpolation, self.normalise_features
+        )
+
+
+class PGTDataSetCfg(_WindowedDataSetCfg):
+    """PGT pickled-snapshot windows (reference dataset_configs.py:906-1223)."""
+
+    name: tp.Literal["england-covid", "twitter-tennis"] = pydantic.Field(...)
+
+    model_config = pydantic.ConfigDict(extra="forbid")
+
+    def _load_snapshots(self):
+        return pgt_data.load_pgt_snapshots(self.name)
+
+    def _process_window(self, window):
+        return win.process_window_pgt(window, self.interpolation)

@@ -1,0 +1,371 @@
+"""Windowed-task trainers (PGT, TGB, recurrent baselines).
+
+One parameterised epoch-loop base replaces the reference's near-clone
+trainers (src/engine/trainer_pgt.py, trainer_recurrent_pgt.py,
+trainer_tgb.py -- SURVEY.md section 7.1 item 7). Metric names and selection
+rules are preserved per task:
+  * PGT: window-mean MSE, best = min validation_loss (trainer_pgt.py:45-66)
+  * TGB: masked softmax CE over active source rows, best = max
+    validation_ndcg@10 (trainer_tgb.py:40-60, 261-285)
+  * recurrent: direct model(x_t, A) on the last window, MSE
+    (trainer_recurrent_pgt.py:26-48)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import logging
+import os
+import random
+import time
+import typing as tp
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import optax
+import pydantic
+
+from ..nn import (
+    filter_value_and_grad,
+    partition,
+    is_inexact_array,
+    apply_updates,
+    num_params,
+)
+from ..models import (
+    PGTGraphNeuralCDE,
+    PGTGraphNeuralODE,
+    PGTSTGraphNeuralCDE,
+    TGBGraphNeuralCDE,
+    TGBGraphNeuralODE,
+    TGBSTGraphNeuralCDE,
+)
+from ..configs import (
+    WandBConfig,
+    OptimiserCfg,
+    MSELossCfg,
+    L1LossCfg,
+    PGTGraphNeuralCDECfg,
+    PGTGraphNeuralODECfg,
+    PGTSTGraphNeuralCDECfg,
+    TGBGraphNeuralCDECfg,
+    TGBGraphNeuralODECfg,
+    TGBSTGraphNeuralODECfg,
+    StidGCNCfg,
+    ASTGCNCfg,
+    DCRNNCfg,
+)
+from ..configs.dataset_configs import PGTDataSetCfg, TGBDataSetCfg
+from .logging import MetricLogger
+from .metrics import masked_mean_ndcg
+from . import checkpoints
+
+logging.basicConfig(level=logging.INFO)
+
+
+def make_window_step_fn(optimiser, loss, has_aux=False):
+    @jax.jit
+    def step(model, opt_state, data_i):
+        out, grads = filter_value_and_grad(loss, has_aux=has_aux)(model, data_i)
+        flat_grads = [g for g in jax.tree_util.tree_leaves(grads) if g is not None]
+        max_grad = jnp.max(jnp.abs(jnp.concatenate([g.ravel() for g in flat_grads])))
+        params, _ = partition(model, is_inexact_array)
+        updates, opt_state = optimiser.update(grads, opt_state, params)
+        model = apply_updates(model, updates)
+        flat_updates = [u for u in jax.tree_util.tree_leaves(updates) if u is not None]
+        max_update = jnp.max(
+            jnp.abs(jnp.concatenate([u.ravel() for u in flat_updates]))
+        )
+        return out, model, opt_state, max_grad, max_update
+
+    return step
+
+
+class _WindowedTrainerBase(pydantic.BaseModel):
+    wandb: WandBConfig = WandBConfig()
+    epochs: int = 2000
+    patience: int = -1
+    min_epochs: int = 100
+    seed: int = 1234
+    log_freq: int = 10
+    eval_freq: int = 10
+    checkpoint_dir: str = ".checkpoints/"
+    checkpoint_name: str = "model"
+    optimiser: OptimiserCfg = pydantic.Field(...)
+    logger_name: str = "gncde"
+    metrics_jsonl: tp.Optional[str] = None
+
+    model_config = pydantic.ConfigDict(extra="ignore")
+    _run_key: tp.Any = pydantic.PrivateAttr(default=None)
+
+    # -- task hooks -------------------------------------------------------
+    #   _data_tuple(model, window_dict) -> pytree of jnp arrays
+    #   _loss(model, data_i) -> scalar (or (scalar, aux))
+    #   _eval_metrics(model, data_i) -> dict of scalars
+    #   _selection(metrics) -> float, lower is better
+    _has_aux: tp.ClassVar[bool] = False
+
+    def _hash_config(self) -> str:
+        config_str = json.dumps(self.model_dump(), sort_keys=True, default=str)
+        return hashlib.md5(config_str.encode()).hexdigest()
+
+    def run(self) -> tp.Dict[str, float]:
+        random.seed(self.seed)
+        np.random.seed(self.seed)
+
+        config_hash = self._hash_config()
+        logger = logging.getLogger(self.logger_name)
+        logger.setLevel(logging.INFO)
+        logger.info(self)
+
+        trainer_key = jr.PRNGKey(self.seed)
+        (train_key, val_key, test_key, model_key, opt_key, self._run_key) = jr.split(
+            trainer_key, 6
+        )
+        train_loader = self.dataset.get_training_data(train_key)
+        val_loader = self.dataset.get_validation_data(val_key)
+        test_loader = self.dataset.get_test_data(test_key)
+        logger.info(
+            "Data loading done: %d/%d/%d windows",
+            len(train_loader), len(val_loader), len(test_loader),
+        )
+
+        model = self.model.build(model_key)
+        metric_logger = MetricLogger(
+            project=self.wandb.project, mode=self.wandb.mode,
+            jsonl_path=self.metrics_jsonl, config=self.model_dump(),
+        )
+        metric_logger.log({"num_params": num_params(model)})
+
+        optimiser, schedule = self.optimiser.build(opt_key)
+        params, _ = partition(model, is_inexact_array)
+        opt_state = optimiser.init(params)
+        step = make_window_step_fn(optimiser, self._loss, self._has_aux)
+
+        best_selection, best_epoch = np.inf, 0
+        final_test_metrics: tp.Dict[str, float] = {}
+        patience_counter = 0
+
+        for epoch in range(self.epochs):
+            train_loss, max_grad, max_update = 0.0, 0.0, 0.0
+            start_time = time.time()
+            for batch in train_loader:
+                data_i = self._data_tuple(model, batch)
+                out, model, opt_state, g, u = step(model, opt_state, data_i)
+                loss_val = out[0] if self._has_aux else out
+                train_loss += float(loss_val)
+                max_grad = max(max_grad, float(g))
+                max_update = max(max_update, float(u))
+            train_loss /= max(len(train_loader), 1)
+            end_time = time.time()
+
+            metric_logger.log(
+                {
+                    "train_loss": train_loss,
+                    "train_step_time": end_time - start_time,
+                    "max_grad": max_grad,
+                    "max_update": max_update,
+                }
+            )
+            if epoch == 0 or (epoch + 1) % self.log_freq == 0:
+                logger.info(
+                    "Epoch: %04d, Train Loss: %s, Step Time: %.4fs, LR: %s",
+                    epoch + 1, train_loss, end_time - start_time, schedule(epoch),
+                )
+
+            if (epoch + 1) % self.eval_freq == 0:
+                t0 = time.time()
+                val_metrics = self._eval_loader(model, val_loader)
+                val_metrics["validation_step_time"] = time.time() - t0
+                metric_logger.log(val_metrics)
+                logger.info("Epoch: %04d, %s", epoch + 1, val_metrics)
+
+                selection = self._selection(val_metrics)
+                if selection < best_selection:
+                    patience_counter = 0
+                    best_selection = selection
+                    best_epoch = epoch
+                    if self.checkpoint_dir:
+                        checkpoints.save_weights(
+                            os.path.join(self.checkpoint_dir, f"{config_hash}.npz"),
+                            model,
+                        )
+                        logger.info("Model saved at epoch %d", epoch)
+                    final_test_metrics = {
+                        f"test_{k.replace('validation_', '')}": v
+                        for k, v in self._eval_loader(model, test_loader).items()
+                    }
+                    metric_logger.log(final_test_metrics)
+                else:
+                    patience_counter += 1
+                    if (
+                        self.patience > 0
+                        and patience_counter * self.eval_freq >= self.patience
+                        and epoch > self.min_epochs
+                    ):
+                        logger.info("Early stopping")
+                        break
+
+        summary = {
+            "best_selection": best_selection,
+            "best_epoch": best_epoch,
+            **final_test_metrics,
+        }
+        logger.info("Final: %s", summary)
+        metric_logger.log({"best_epoch": best_epoch})
+        metric_logger.close()
+        return summary
+
+    def _eval_loader(self, model, loader) -> tp.Dict[str, float]:
+        totals: tp.Dict[str, float] = {}
+        for batch in loader:
+            data_i = self._data_tuple(model, batch)
+            for k, v in self._eval_metrics(model, data_i).items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+        return {k: v / max(len(loader), 1) for k, v in totals.items()}
+
+
+# ---------------------------------------------------------------------------
+# PGT (solver models)
+# ---------------------------------------------------------------------------
+
+
+class PGTTrainer(_WindowedTrainerBase):
+    """Reference src/engine/trainer_pgt.py."""
+
+    model: tp.Union[
+        PGTGraphNeuralCDECfg, PGTGraphNeuralODECfg, PGTSTGraphNeuralCDECfg
+    ] = pydantic.Field(..., discriminator="name")
+    dataset: tp.Union[PGTDataSetCfg, TGBDataSetCfg] = pydantic.Field(
+        ..., discriminator="name"
+    )
+    loss: tp.Union[MSELossCfg, L1LossCfg] = pydantic.Field(
+        MSELossCfg(name="MSE"), discriminator="name"
+    )
+
+    def _data_tuple(self, model, d):
+        if isinstance(model, PGTGraphNeuralODE):
+            return (
+                jnp.asarray(d["t"]), d["graph_path_coeffs"], jnp.asarray(d["A"]),
+                d["x_coeffs"], jnp.asarray(d["true_y0"]), jnp.asarray(d["true_y"]),
+            )
+        return (
+            jnp.asarray(d["t"]), d["graph_path_coeffs"], d["x_coeffs"],
+            jnp.asarray(d["true_y0"]), jnp.asarray(d["true_y"]),
+        )
+
+    @staticmethod
+    def _loss(model, data_i):
+        if isinstance(model, PGTGraphNeuralODE):
+            t_i, adj_coeffs, adj_list, x_coeffs, x0, label = data_i
+            y_pred = model(t_i, adj_coeffs, adj_list, x_coeffs, x0)
+        else:
+            t_i, adj_coeffs, x_coeffs, x0, label = data_i
+            y_pred = model(t_i, adj_coeffs, x_coeffs, x0)
+        y_pred = jnp.reshape(y_pred, (y_pred.shape[0], 1))
+        label = jnp.reshape(label, (-1, 1))
+        return jnp.mean((y_pred - label) ** 2)
+
+    def _eval_metrics(self, model, data_i):
+        return {"validation_loss": _pgt_eval_jit(model, data_i)}
+
+    def _selection(self, metrics):
+        return metrics["validation_loss"]
+
+
+@jax.jit
+def _pgt_eval_jit(model, data_i):
+    return PGTTrainer._loss(model, data_i)
+
+
+# ---------------------------------------------------------------------------
+# TGB (solver models; CE + NDCG@10)
+# ---------------------------------------------------------------------------
+
+
+class TGBTrainer(_WindowedTrainerBase):
+    """Reference src/engine/trainer_tgb.py."""
+
+    model: tp.Union[
+        TGBGraphNeuralCDECfg, TGBGraphNeuralODECfg, TGBSTGraphNeuralODECfg
+    ] = pydantic.Field(..., discriminator="name")
+    dataset: TGBDataSetCfg = pydantic.Field(...)
+
+    def _data_tuple(self, model, d):
+        return (
+            jnp.asarray(d["start_time"]), jnp.asarray(d["t"]),
+            d["graph_path_coeffs"], jnp.asarray(d["x_t"]),
+            jnp.asarray(d["true_y0"]), jnp.asarray(d["true_y"]),
+            jnp.asarray(d["source_mask"]),
+        )
+
+    @staticmethod
+    def _predict(model, data_i):
+        start_time, t_i, adj_coeffs, x_t, x0, label, mask = data_i
+        return model(t_i, adj_coeffs, x_t, x0, start_time), label, mask
+
+    @staticmethod
+    def _loss(model, data_i):
+        y_pred, label, mask = TGBTrainer._predict(model, data_i)
+        loss = jnp.sum(-label * jax.nn.log_softmax(y_pred, axis=-1), axis=-1)
+        filtered = jnp.where(mask, loss, 0.0)
+        return jnp.sum(filtered) / jnp.sum(mask)
+
+    def _eval_metrics(self, model, data_i):
+        ce, ndcg = _tgb_eval_jit(model, data_i)
+        return {"validation_loss": ce, "validation_ndcg@10": ndcg}
+
+    def _selection(self, metrics):
+        # Reference selects on max NDCG (trainer_tgb.py:261-285)
+        return -metrics["validation_ndcg@10"]
+
+
+@jax.jit
+def _tgb_eval_jit(model, data_i):
+    y_pred, label, mask = TGBTrainer._predict(model, data_i)
+    ce = jnp.sum(-label * jax.nn.log_softmax(y_pred, axis=-1), axis=-1)
+    ce = jnp.sum(jnp.where(mask, ce, 0.0)) / jnp.sum(mask)
+    ndcg = masked_mean_ndcg(label, y_pred, mask, k=10)
+    return ce, ndcg
+
+
+# ---------------------------------------------------------------------------
+# Recurrent discrete baselines over PGT windows
+# ---------------------------------------------------------------------------
+
+
+class RecurrentPGTTrainer(_WindowedTrainerBase):
+    """Reference src/engine/trainer_recurrent_pgt.py."""
+
+    model: tp.Union[StidGCNCfg, ASTGCNCfg, DCRNNCfg] = pydantic.Field(
+        ..., discriminator="name"
+    )
+    dataset: tp.Union[PGTDataSetCfg, TGBDataSetCfg] = pydantic.Field(
+        ..., discriminator="name"
+    )
+
+    def _data_tuple(self, model, d):
+        return (
+            jnp.asarray(d["x_t"]), jnp.asarray(d["true_y"]), jnp.asarray(d["A"]),
+        )
+
+    def _loss(self, model, data_i):
+        from ..models.dcrnn import DCRNNModelSingleStep
+
+        x0_i, label_i, adj = data_i
+        if isinstance(model, DCRNNModelSingleStep):
+            pred_y = model(x0_i, adj)
+            pred_y = jnp.squeeze(pred_y, axis=0)
+        else:
+            pred_y = model(x0_i, self._run_key)
+            pred_y = jnp.squeeze(pred_y, axis=-1)
+        return jnp.mean((pred_y - label_i) ** 2)
+
+    def _eval_metrics(self, model, data_i):
+        return {"validation_loss": self._loss(model, data_i)}
+
+    def _selection(self, metrics):
+        return metrics["validation_loss"]
