@@ -1,29 +1,44 @@
 """Benchmark: permutation-equivariant vector-field evaluation throughput.
 
-Measures edges/s/chip of the hot kernel (the fused equivariant message-
-passing layer stack inside the CDE solver loop, SURVEY.md section 3.5) at the
-reference's oversampling workload scale (n=400, B=50, L=3), and compares the
-TPU-native rank-structured decomposition against a faithful reference-style
-implementation (materialise all 8 dense basis terms, then one matmul --
-reference layers.py:102-160) run on the SAME hardware.
+Measures edges/s/chip of the hot kernel (the equivariant fused message-
+passing stack evaluated inside the CDE solver loop, SURVEY.md section 3.5)
+at the reference workload scale (n=400, L=3), comparing:
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` = baseline_time / our_time (>1 means faster than the
-reference algorithm on this chip).
+  * tpu_native -- this framework's default path: slim adjacency control
+    (implicit time channel, half the coefficient gathers; see
+    gncde_tpu.interp.MatrixControl) + XLA-fused dense basis operator.
+  * reference  -- a faithful implementation of the reference's algorithm on
+    the SAME hardware: full [time, value]-channel control path evaluated for
+    both value and derivative each step (perm_equiv_graph_vector_field.py:
+    97-102) + the dense 8-term fusion (layers.py:102-160).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"} where
+``vs_baseline`` = reference_time / tpu_native_time (>1 => faster).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
+
+# Persistent compilation cache: first-run compiles over the TPU tunnel are
+# minutes; cached reruns are seconds.
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import jax.random as jr
 
 from gncde_tpu.models.vector_fields import PermEquivGraphVectorField
 from gncde_tpu.ops.equiv_basis import fusion_matrix_dense
-from gncde_tpu.interp import backward_hermite_coefficients, CubicInterpolation
+from gncde_tpu.interp import (
+    backward_hermite_coefficients,
+    CubicInterpolation,
+    MatrixControl,
+)
 
 N_NODES = 400
 BATCH = 16
@@ -31,7 +46,7 @@ HIDDEN = 32
 LAYERS = 3
 T_KNOTS = 12
 EVALS_PER_RUN = 50  # vf evals chained per timed run (scan)
-RUNS = 10
+RUNS = 20
 
 
 def build():
@@ -52,8 +67,9 @@ def build():
     return vf, ts, coeffs, y0
 
 
-def dense_reference_vf(vf, t, y, ctrl):
-    """Reference-style evaluation: materialise the fused operator densely."""
+def reference_vf(vf, t, y, ctrl):
+    """Reference-faithful evaluation: both channels of the control evaluated,
+    dense fused operator materialised, explicit time-gradient scaling."""
     adj = ctrl.evaluate(t)[..., -1]
     deriv = ctrl.derivative(t)
     dadj = deriv[..., -1]
@@ -71,13 +87,16 @@ def make_runner(vf, ts, coeffs, mode):
     eval_ts = jnp.linspace(0.01, 0.99, EVALS_PER_RUN)
 
     def one_traj(coeffs_i, y0_i):
-        ctrl = CubicInterpolation(ts, coeffs_i)
+        if mode == "tpu_native":
+            ctrl = MatrixControl.from_stacked("cubic", ts, coeffs_i)
+        else:
+            ctrl = CubicInterpolation(ts, coeffs_i)
 
         def body(y, t):
-            if mode == "fused":
+            if mode == "tpu_native":
                 out = vf(t, y, ctrl)
             else:
-                out = dense_reference_vf(vf, t, y, ctrl)
+                out = reference_vf(vf, t, y, ctrl)
             return y + 1e-3 * out, None
 
         y_fin, _ = jax.lax.scan(body, y0_i, eval_ts)
@@ -103,27 +122,26 @@ def time_runner(run, coeffs, y0):
 def main():
     vf, ts, coeffs, y0 = build()
 
-    fused_run = make_runner(vf, ts, coeffs, "fused")
-    ref_run = make_runner(vf, ts, coeffs, "dense")
+    native_run = make_runner(vf, ts, coeffs, "tpu_native")
+    ref_run = make_runner(vf, ts, coeffs, "reference")
 
-    fused_t = time_runner(fused_run, coeffs, y0)
+    native_t = time_runner(native_run, coeffs, y0)
     ref_t = time_runner(ref_run, coeffs, y0)
 
-    # sanity: both modes compute the same function
-    a = fused_run(coeffs, y0)
+    a = native_run(coeffs, y0)
     b = ref_run(coeffs, y0)
     max_dev = float(jnp.max(jnp.abs(a - b)))
-    assert max_dev < 1e-2, f"fused/dense mismatch: {max_dev}"
+    assert max_dev < 1e-2, f"native/reference mismatch: {max_dev}"
 
     edges = N_NODES * N_NODES * BATCH * LAYERS * EVALS_PER_RUN
-    edges_per_s = edges / fused_t
+    edges_per_s = edges / native_t
     print(
         json.dumps(
             {
                 "metric": "vf_eval_edges_per_s_per_chip",
                 "value": edges_per_s,
                 "unit": "edges/s",
-                "vs_baseline": ref_t / fused_t,
+                "vs_baseline": ref_t / native_t,
             }
         )
     )

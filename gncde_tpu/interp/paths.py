@@ -145,6 +145,48 @@ class LinearInterpolation(Module):
         return (self.ys[i + 1] - self.ys[i]) / (t1 - t0)
 
 
+class MatrixControl(Module):
+    """Slim adjacency control path with an implicit time channel.
+
+    The reference stores the control as ``stack([t, A], -1)`` and evaluates
+    BOTH channels each vf call even though the time channel is analytic
+    (its value is t and its derivative is exactly 1 under both linear and
+    backward-Hermite interpolation of a linear signal). This wrapper slices
+    the adjacency channel out of reference-layout coefficients ONCE at model
+    entry, halving coefficient gather traffic per solver step -- the hot-loop
+    bottleneck is coefficient reads (SURVEY.md section 3.5).
+
+    Duck-typed: vector fields probe for ``adj``/``dadj``/``tgrad_is_unit``.
+    """
+
+    path: Module
+    tgrad_is_unit: bool = static_field()
+
+    def __init__(self, path):
+        self.path = path
+        self.tgrad_is_unit = True
+
+    @classmethod
+    def from_stacked(cls, interpolation: str, ts, coeffs):
+        """Build from reference-layout stacked (time, value) coefficients."""
+        if interpolation == "linear":
+            return cls(LinearInterpolation(ts, coeffs[..., -1]))
+        return cls(CubicInterpolation(ts, tuple(c[..., -1] for c in coeffs)))
+
+    def adj(self, t):
+        return self.path.evaluate(t)
+
+    def dadj(self, t):
+        return self.path.derivative(t)
+
+    # Reference-compatible API (value channel only, no time channel).
+    def evaluate(self, t):
+        return self.path.evaluate(t)
+
+    def derivative(self, t):
+        return self.path.derivative(t)
+
+
 class CubicInterpolation(Module):
     """Hermite-cubic control path (reference: graph_neural_cde.py:82).
 

@@ -15,12 +15,21 @@ import jax.numpy as jnp
 import jax.random as jr
 
 from ..nn import Module, Linear, static_field
-from ..interp import LinearInterpolation, CubicInterpolation
+from ..interp import LinearInterpolation, CubicInterpolation, MatrixControl
 from ..solve import ODETerm, SaveAt, PIDController, diffeqsolve
 from . import vector_fields
 
 
-def make_control(interpolation: str, ts: jax.Array, coeffs):
+def make_control(interpolation: str, ts: jax.Array, coeffs, slim: bool = False):
+    """Construct a control path from reference-layout coefficients.
+
+    ``slim=True`` strips the analytic time channel (see
+    gncde_tpu.interp.MatrixControl) -- used for adjacency paths whose
+    consumers only read the value channel; halves coefficient traffic in the
+    solver hot loop.
+    """
+    if slim:
+        return MatrixControl.from_stacked(interpolation, ts, coeffs)
     if interpolation == "linear":
         return LinearInterpolation(ts, coeffs)
     elif interpolation == "cubic":
@@ -72,7 +81,7 @@ class GraphNeuralCDE(Module):
         evolving_out: bool = True,
         adjoint: str = "checkpointed",
     ) -> jax.Array:
-        control_adj = make_control(self.interpolation, ts, coeffs_adj)
+        control_adj = make_control(self.interpolation, ts, coeffs_adj, slim=True)
         term = ODETerm(self.vector_field)
         y0 = jax.vmap(self.initial_linear)(x0)
         saveat = SaveAt(ts=ts) if evolving_out else SaveAt(t1=True)
@@ -144,7 +153,7 @@ class GraphNeuralODE(Module):
         evolving_out: bool = True,
         adjoint: str = "checkpointed",
     ) -> jax.Array:
-        control_adj = make_control(self.interpolation, ts, coeffs_adj)
+        control_adj = make_control(self.interpolation, ts, coeffs_adj, slim=True)
         args = (control_adj, adjacency_list, events_time)
         term = ODETerm(self.vector_field)
         y0 = jax.vmap(self.initial_linear)(x0)

@@ -77,7 +77,7 @@ class PGTGraphNeuralCDE(Module):
         global_readout: bool = True,
         adjoint: str = "checkpointed",
     ) -> jax.Array:
-        control_adj = make_control(self.interpolation, ts, coeffs_adj)
+        control_adj = make_control(self.interpolation, ts, coeffs_adj, slim=True)
         control_data = make_control(self.interpolation, ts, x_coeffs)
 
         term = ODETerm(self.wrapped_vector_field)
@@ -158,7 +158,7 @@ class PGTGraphNeuralODE(Module):
         evolving_out: bool = False,
         adjoint: str = "checkpointed",
     ) -> jax.Array:
-        control_adj = make_control(self.interpolation, ts, coeffs_adj)
+        control_adj = make_control(self.interpolation, ts, coeffs_adj, slim=True)
         term = ODETerm(self.vector_field)
         y0 = jax.vmap(self.encoder)(x0)
         saveat = SaveAt(ts=ts) if evolving_out else SaveAt(t1=True)

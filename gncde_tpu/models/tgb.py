@@ -100,7 +100,7 @@ class TGBGraphNeuralCDE(Module):
         x_data = jnp.stack([t_index, x_data], axis=-1)
         coeffs_data = _interp_coeffs(self.interpolation, ts, x_data)
 
-        control_adj = make_control(self.interpolation, ts, coeffs_adj)
+        control_adj = make_control(self.interpolation, ts, coeffs_adj, slim=True)
         control_data = make_control(self.interpolation, ts, coeffs_data)
 
         term = ODETerm(self.wrapped_vector_field)
@@ -177,7 +177,7 @@ class TGBGraphNeuralODE(Module):
         evolving_out: bool = False,
         adjoint: str = "checkpointed",
     ) -> jax.Array:
-        control_adj = make_control(self.interpolation, ts, coeffs_adj)
+        control_adj = make_control(self.interpolation, ts, coeffs_adj, slim=True)
         term = ODETerm(self.vector_field)
         y0 = jax.vmap(self.encoder)(x0)
         saveat = SaveAt(ts=ts) if evolving_out else SaveAt(t1=True)

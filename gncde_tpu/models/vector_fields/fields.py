@@ -56,6 +56,27 @@ def _time_scale(t_gradient_matrix: jax.Array, node_features: jax.Array) -> jax.A
     return t_gradient[:, None] * node_features
 
 
+def control_terms(control_adj, t):
+    """(A(t), dA(t), time-gradient matrix or None).
+
+    Fast path: :class:`gncde_tpu.interp.MatrixControl` carries only the value
+    channel (implicit time channel with unit gradient) -- half the
+    coefficient gathers per evaluation. Reference-layout paths (channels
+    stacked as [time, value]) evaluate both channels, as the reference does
+    (perm_equiv_graph_vector_field.py:97-102).
+    """
+    if getattr(control_adj, "tgrad_is_unit", False):
+        return control_adj.adj(t), control_adj.dadj(t), None
+    deriv = control_adj.derivative(t)
+    return control_adj.evaluate(t)[..., -1], deriv[..., -1], deriv[..., 0]
+
+
+def _maybe_time_scale(tgrad, node_features):
+    if tgrad is None:
+        return node_features
+    return _time_scale(tgrad, node_features)
+
+
 class PermEquivGraphVectorField(Module):
     """Undirected permutation-equivariant vf (perm_equiv_graph_vector_field.py).
 
@@ -97,11 +118,9 @@ class PermEquivGraphVectorField(Module):
 
     def __call__(self, t, y, args):
         node_features, control_adj = y, args
-        adj = control_adj.evaluate(t)[..., -1]
-        deriv = control_adj.derivative(t)
-        adj_derivative = deriv[..., -1]
+        adj, adj_derivative, tgrad = control_terms(control_adj, t)
         out = _run_stack(self.gnn_layers, node_features, adj, adj_derivative)
-        return _time_scale(deriv[..., 0], out)
+        return _maybe_time_scale(tgrad, out)
 
 
 class PermEquivDirGraphVectorField(Module):
@@ -160,9 +179,7 @@ class PermEquivDirGraphVectorField(Module):
 
     def __call__(self, t, y, args):
         node_features, control_adj = y, args
-        adj = control_adj.evaluate(t)[..., -1]
-        deriv = control_adj.derivative(t)
-        adj_derivative = deriv[..., -1]
+        adj, adj_derivative, tgrad = control_terms(control_adj, t)
 
         if self.enc_idx:
             pairwise_emb = self.idx_enc()
@@ -172,7 +189,7 @@ class PermEquivDirGraphVectorField(Module):
             )
 
         out = _run_stack(self.gnn_layers, node_features, adj, adj_derivative)
-        return _time_scale(deriv[..., 0], out)
+        return _maybe_time_scale(tgrad, out)
 
 
 class GraphVectorField(Module):
@@ -208,11 +225,10 @@ class GraphVectorField(Module):
 
     def __call__(self, t, y, args):
         node_features, control_adj = y, args
-        adj = control_adj.evaluate(t)
-        deriv = control_adj.derivative(t)
-        message = adj[..., -1] + deriv[..., -1]
+        adj, dadj, tgrad = control_terms(control_adj, t)
+        message = adj + dadj
         out = _run_stack(self.gnn_layers, node_features, message)
-        return _time_scale(deriv[..., 0], out)
+        return _maybe_time_scale(tgrad, out)
 
 
 class GNODEVectorField(Module):
@@ -237,10 +253,9 @@ class GNODEVectorField(Module):
 
     def __call__(self, t, y, args):
         node_features, control_adj = y, args
-        adj = control_adj.evaluate(t)
-        deriv = control_adj.derivative(t)
-        out = _run_stack(self.gnn_layers, node_features, adj[..., -1])
-        return _time_scale(deriv[..., 0], out)
+        adj, _, tgrad = control_terms(control_adj, t)
+        out = _run_stack(self.gnn_layers, node_features, adj)
+        return _maybe_time_scale(tgrad, out)
 
 
 class GNODEFloorVectorField(Module):
@@ -274,10 +289,13 @@ class GNODEFloorVectorField(Module):
         else:
             raise ValueError("Invalid number of arguments")
 
-        deriv = control_adj.derivative(t)
+        if getattr(control_adj, "tgrad_is_unit", False):
+            tgrad = None
+        else:
+            tgrad = control_adj.derivative(t)[..., 0]
         message = adjacency_list[index]
         out = _run_stack(self.gnn_layers, node_features, message)
-        return _time_scale(deriv[..., 0], out)
+        return _maybe_time_scale(tgrad, out)
 
 
 class PreMultFusionGraphVectorField(Module):
@@ -314,10 +332,9 @@ class PreMultFusionGraphVectorField(Module):
 
     def __call__(self, t, y, args):
         node_features, control_adj = y, args
-        adj = control_adj.evaluate(t)
-        deriv = control_adj.derivative(t)
-        out = _run_stack(self.gnn_layers, node_features, adj[..., -1], deriv[..., -1])
-        return _time_scale(deriv[..., 0], out)
+        adj, dadj, tgrad = control_terms(control_adj, t)
+        out = _run_stack(self.gnn_layers, node_features, adj, dadj)
+        return _maybe_time_scale(tgrad, out)
 
 
 class MLPVectorField(Module):

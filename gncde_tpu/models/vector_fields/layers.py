@@ -97,7 +97,8 @@ class ConvEquivFusionLayer(Module):
         )
 
     def fusion_matrix(self, adjacency: jax.Array, control_gradient: jax.Array):
-        """Dense fused operator (parity oracle; not used in the hot path)."""
+        """Dense fused operator (the default hot path: XLA fuses all basis
+        terms into the matmul operand, so one matmul suffices)."""
         return equiv_basis.fusion_matrix_dense(adjacency, control_gradient, self.params)
 
     def __call__(
@@ -106,7 +107,19 @@ class ConvEquivFusionLayer(Module):
         adj_matrix: jax.Array,
         control_gradient: jax.Array,
     ) -> jax.Array:
+        from ... import ops as ops_config
+
+        backend = ops_config.get_fusion_backend()
         m = self.conv_layer.transform(node_feats)
+        if backend == "dense":
+            fused = self.fusion_matrix(adj_matrix, control_gradient)
+            return m + fused @ m
+        if backend == "pallas":
+            from ...ops.pallas.fused_basis import fused_apply_pallas
+
+            return fused_apply_pallas(
+                adj_matrix, control_gradient, m, self.params, False, True
+            )
         return equiv_basis.fused_apply(
             adj_matrix, control_gradient, m, self.params, add_identity=True
         )
@@ -192,7 +205,19 @@ class ConvEquivFusionDirectedLayer(Module):
         adj_matrix: jax.Array,
         control_gradient: jax.Array,
     ) -> jax.Array:
+        from ... import ops as ops_config
+
+        backend = ops_config.get_fusion_backend()
         m = self.conv_layer.transform(node_feats)
+        if backend == "dense":
+            fused = self.fusion_matrix(adj_matrix, control_gradient)
+            return m + fused @ m
+        if backend == "pallas":
+            from ...ops.pallas.fused_basis import fused_apply_pallas
+
+            return fused_apply_pallas(
+                adj_matrix, control_gradient, m, self.params, True, True
+            )
         return equiv_basis.fused_apply(
             adj_matrix, control_gradient, m, self.params, directed=True, add_identity=True
         )

@@ -1,0 +1,153 @@
+"""Pallas TPU kernel: fused equivariant-basis message passing.
+
+Computes ``out = A_bar @ M (+ M)`` for the Maron-basis fused operator WITHOUT
+materialising A_bar or the B1/B2 combinations (see
+gncde_tpu/ops/equiv_basis.py): each row-tile kernel instance forms
+``a1*A_row + a2*dA_row`` and ``b1*A_col + b2*dA_col`` in registers and feeds
+the MXU directly, then folds the diagonal and rank-1 corrections.
+
+HBM traffic per call: one read of A, dA (twice: row view + col view), one
+read of M, one write of out -- versus the XLA decomposed path's extra
+materialisation of B1/B2 (write + read each). The backward pass reuses the
+XLA decomposition (registered via custom_vjp), which is already
+rank-structured.
+
+Grid: (ceil(n / TILE_N),). Requires n % 8 == 0 ideally; arbitrary n handled
+by padding at the wrapper level.
+"""
+
+from __future__ import annotations
+
+import functools
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import equiv_basis
+
+DEFAULT_TILE = 256
+
+
+def _kernel(scal_ref, arow_ref, darow_ref, acol_ref, dacol_ref, m_ref,
+            dvec_ref, u_ref, svec_ref, wvec_ref, out_ref):
+    a1 = scal_ref[0]
+    a2 = scal_ref[1]
+    b1 = scal_ref[2]
+    b2 = scal_ref[3]
+
+    b1_row = a1 * arow_ref[:] + a2 * darow_ref[:]          # (T, n)
+    rowpart = jnp.dot(b1_row, m_ref[:], preferred_element_type=jnp.float32)
+
+    b2_col = b1 * acol_ref[:] + b2 * dacol_ref[:]          # (n, T)
+    colpart = jax.lax.dot_general(
+        b2_col, m_ref[:],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                      # (T, H)
+
+    i = pl.program_id(0)
+    tile = out_ref.shape[0]
+    m_rows = m_ref[pl.ds(i * tile, tile), :]               # (T, H)
+
+    out_ref[:] = (
+        rowpart
+        + colpart
+        + dvec_ref[:][:, None] * m_rows
+        + u_ref[:][:, None] * svec_ref[:][None, :]
+        + wvec_ref[:][None, :]
+    )
+
+
+def _pallas_forward(A, dA, M, scalars, dvec, u, svec, wvec, tile):
+    n, H = M.shape
+    grid = (pl.cdiv(n, tile),)
+    return pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars (4,)
+            pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM),  # A rows
+            pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM),  # dA rows
+            pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),  # A cols
+            pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),  # dA cols
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # M full
+            pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM),  # dvec
+            pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM),  # u
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # svec (H,)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wvec (H,)
+        ],
+        out_specs=pl.BlockSpec((tile, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, H), jnp.float32),
+    )(scalars, A, dA, A, dA, M, dvec, u, svec, wvec)
+
+
+def _prep(A, dA, M, params, directed, add_identity):
+    """O(n) prep shared with the XLA path; returns kernel operands."""
+    mk = equiv_basis.fused_coeffs_directed if directed else equiv_basis.fused_coeffs
+    # We only need the O(n) pieces; recompute them directly to avoid forming
+    # B1/B2 (which fused_coeffs materialises for the XLA path).
+    if directed:
+        p1, p2 = params[0], params[1]
+    else:
+        p1, p2 = params[0], params[1]
+    coeffs = mk(A, dA, params)
+    dvec = coeffs.dvec + (1.0 if add_identity else 0.0)
+    svec = jnp.sum(M, axis=0)
+    wvec = coeffs.v @ M + coeffs.c7 * svec
+    scalars = jnp.stack([1.0 + p1[0], 1.0 + p1[1], p2[0], p2[1]]).astype(jnp.float32)
+    return scalars, dvec, coeffs.u, svec, wvec
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def fused_apply_pallas(A, dA, M, params, directed=False, add_identity=False,
+                       tile=DEFAULT_TILE):
+    """Pallas-accelerated ``fused_apply`` (same semantics as
+    equiv_basis.fused_apply). Falls back to padding when n % tile != 0."""
+    return _fused_apply_pallas_impl(A, dA, M, params, directed, add_identity, tile)
+
+
+def _fused_apply_pallas_impl(A, dA, M, params, directed, add_identity, tile):
+    n, H = M.shape
+    tile = min(tile, n)
+    if n % tile != 0:
+        # Round tile down to a divisor of n that is a multiple of 8 if
+        # possible, else fall back to the XLA decomposed path.
+        for cand in (128, 64, 32, 16, 8):
+            if n % cand == 0:
+                tile = cand
+                break
+        else:
+            return equiv_basis.fused_apply(
+                A, dA, M, params, directed=directed, add_identity=add_identity
+            )
+    scalars, dvec, u, svec, wvec = _prep(A, dA, M, params, directed, add_identity)
+    # B1/B2 coefficients are folded into the kernel; the coeffs.B1/B2 from
+    # _prep are ignored (XLA DCEs them).
+    return _pallas_forward(
+        A.astype(jnp.float32), dA.astype(jnp.float32), M.astype(jnp.float32),
+        scalars, dvec.astype(jnp.float32), u.astype(jnp.float32),
+        svec.astype(jnp.float32), wvec.astype(jnp.float32), tile,
+    )
+
+
+def _fwd(A, dA, M, params, directed, add_identity, tile):
+    out = _fused_apply_pallas_impl(A, dA, M, params, directed, add_identity, tile)
+    return out, (A, dA, M, params)
+
+
+def _bwd(directed, add_identity, tile, res, g):
+    A, dA, M, params = res
+
+    def f(A, dA, M, params):
+        return equiv_basis.fused_apply(
+            A, dA, M, params, directed=directed, add_identity=add_identity
+        )
+
+    _, vjp = jax.vjp(f, A, dA, M, params)
+    return vjp(g)
+
+
+fused_apply_pallas.defvjp(_fwd, _bwd)

@@ -1,0 +1,36 @@
+"""PGT training entry point.
+
+Reference: src/run/pgt/single_run.py (dispatches astgcn/dcrnn/stid_gcn to the
+recurrent trainer, solver models to the PGT trainer).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import yaml
+
+from ..train.windowed import PGTTrainer, RecurrentPGTTrainer
+from .common import apply_overrides
+
+RECURRENT_MODELS = {"astgcn", "dcrnn", "stid_gcn"}
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", required=True)
+    parser.add_argument("overrides", nargs="*")
+    args = parser.parse_args(argv)
+    with open(args.config) as f:
+        config_yaml = yaml.safe_load(f)
+    config_yaml = apply_overrides(config_yaml, args.overrides)
+
+    if config_yaml["model"]["name"] in RECURRENT_MODELS:
+        trainer = RecurrentPGTTrainer(**config_yaml)
+    else:
+        trainer = PGTTrainer(**config_yaml)
+    return trainer.run()
+
+
+if __name__ == "__main__":
+    main()
