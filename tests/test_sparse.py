@@ -33,7 +33,7 @@ def test_spmm_matches_dense(n, H):
 
 
 def test_reductions_match_dense():
-    A = _sparse_matrix(jr.PRNGKey(5), 40, density=0.2)
+    A = np.array(_sparse_matrix(jr.PRNGKey(5), 40, density=0.2))
     # put something on the diagonal
     A[3, 3] = 2.5
     ell = ell_from_dense(A)
