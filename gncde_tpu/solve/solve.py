@@ -55,13 +55,17 @@ class SaveAt:
 
 @dataclasses.dataclass(frozen=True)
 class PIDController:
-    """I-controller with diffrax-compatible defaults (PID with p=d=0)."""
+    """Step-size controller, diffrax-compatible defaults (I-control:
+    pcoeff=0, icoeff=1). Positive ``pcoeff`` enables the standard PI rule,
+    which damps accept/reject oscillation on rough vector fields."""
 
     rtol: float = 1e-3
     atol: float = 1e-6
     safety: float = 0.9
     factormin: float = 0.2
     factormax: float = 10.0
+    pcoeff: float = 0.0
+    icoeff: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -177,11 +181,19 @@ def diffeqsolve(
     saveat: tp.Optional[SaveAt] = None,
     max_steps: int = 1024,
     adjoint: str = "checkpointed",
+    jump_ts: tp.Optional[jax.Array] = None,
 ) -> Solution:
     """Integrate ``dy/dt = vf(t, y, args)`` from t0 to t1.
 
     adjoint: "checkpointed" (differentiable bounded scan) or "none"
     (while_loop with early exit; faster for inference, not differentiable).
+
+    jump_ts: optional sorted knot times where the vector field loses
+    smoothness (e.g. control-path interpolation knots). Steps are clamped to
+    end exactly on the next knot, which removes the error-estimate blowups
+    (and the resulting reject storms) that otherwise occur when an RK step
+    straddles a derivative kink -- the control path's spline knots are the
+    dominant rejection source for GNCDE workloads.
     """
     tab = get_tableau(solver)
     vf = terms.vf if isinstance(terms, ODETerm) else terms
@@ -224,9 +236,23 @@ def diffeqsolve(
     )
 
     def step_once(carry):
-        t, y, f, h, ys, n_acc, n_rej, just_rejected = carry
+        t, y, f, h, ys, n_acc, n_rej, just_rejected, prev_inv = carry
         done = t >= t1
         h_clip = jnp.minimum(h, t1 - t)
+        if jump_ts is not None:
+            # Clamp the step to the next knot strictly after t (with a small
+            # relative margin so landing on a knot doesn't re-clamp to it).
+            margin = 1e-6 * jnp.maximum(jnp.abs(t), 1.0)
+            nxt = jnp.searchsorted(jump_ts, t + margin, side="left")
+            nxt = jnp.clip(nxt, 0, jump_ts.shape[0] - 1)
+            next_knot = jnp.where(
+                jump_ts[nxt] > t + margin, jump_ts[nxt], t1
+            )
+            knot_h = next_knot - t
+            knot_clamped = knot_h < h_clip
+            h_clip = jnp.minimum(h_clip, knot_h)
+        else:
+            knot_clamped = jnp.asarray(False)
         h_clip = jnp.maximum(h_clip, jnp.asarray(0.0, dtype))
         # When done, take a dummy tiny step (results discarded by masking).
         h_eff = jnp.where(done, jnp.asarray(1.0, dtype), h_clip)
@@ -243,16 +269,20 @@ def diffeqsolve(
             finite = jnp.isfinite(err_ratio)
             accept = (err_ratio <= 1.0) & finite
             inv = jnp.where(err_ratio == 0.0, jnp.inf, 1.0 / err_ratio)
-            factor = jnp.clip(
-                ctrl.safety * inv ** (1.0 / tab.error_order),
-                ctrl.factormin,
-                ctrl.factormax,
-            )
+            k_exp = 1.0 / tab.error_order
+            raw = ctrl.safety * inv ** (ctrl.icoeff * k_exp)
+            if ctrl.pcoeff != 0.0:
+                raw = raw * (inv / prev_inv) ** (ctrl.pcoeff * k_exp)
+            factor = jnp.clip(raw, ctrl.factormin, ctrl.factormax)
             factor = jnp.where(finite, factor, ctrl.factormin)
             # Hairer anti-thrash rule: no step growth immediately after a
             # rejection (prevents accept/reject oscillation at factormax).
             factor = jnp.where(just_rejected, jnp.minimum(factor, 1.0), factor)
-            h_next = h_eff * factor
+            # When the step was shortened only to land on a knot, the clamp
+            # carries no error signal: base the next size on the controller's
+            # unclamped h so knots don't collapse the step size.
+            h_base = jnp.where(knot_clamped, h, h_eff)
+            h_next = h_base * factor
         else:
             accept = jnp.asarray(True)
             h_next = h
@@ -263,6 +293,9 @@ def diffeqsolve(
         is_last = h >= (t1 - t)
         t_new = jnp.where(accept, jnp.where(is_last, t1, t + h_eff), t)
         y_new = jnp.where(accept, y1, y)
+        # FSAL reuse across knots is exact for C^0 vector fields (cubic
+        # Hermite control paths are C^1, so A and dA are continuous at knots;
+        # only higher derivatives jump -- which is what the clamping fixes).
         f_new = jnp.where(accept, f1, f)
         h_new = jnp.where(done, h, h_next)
 
@@ -277,7 +310,14 @@ def diffeqsolve(
         n_acc = n_acc + accept.astype(jnp.int32)
         n_rej = n_rej + rejected_now.astype(jnp.int32)
         just_rejected_new = jnp.where(done, just_rejected, rejected_now)
-        return (t_new, y_new, f_new, h_new, ys_new, n_acc, n_rej, just_rejected_new)
+        if adaptive:
+            prev_inv_new = jnp.where(
+                done, prev_inv, jnp.clip(inv, 1e-10, 1e10)
+            )
+        else:
+            prev_inv_new = prev_inv
+        return (t_new, y_new, f_new, h_new, ys_new, n_acc, n_rej,
+                just_rejected_new, prev_inv_new)
 
     carry0 = (
         t0,
@@ -288,6 +328,7 @@ def diffeqsolve(
         jnp.asarray(0, jnp.int32),
         jnp.asarray(0, jnp.int32),
         jnp.asarray(False),
+        jnp.asarray(1.0, dtype),
     )
 
     if adjoint == "none":
@@ -313,7 +354,7 @@ def diffeqsolve(
 
         carry, _ = jax.lax.scan(outer_body, carry0, None, length=outer)
 
-    t_fin, y_fin, _, _, ys, n_acc, n_rej, _ = carry
+    t_fin, y_fin, _, _, ys, n_acc, n_rej, _, _ = carry
     success = t_fin >= t1
 
     if saveat.ts is None:
