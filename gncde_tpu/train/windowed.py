@@ -183,7 +183,11 @@ class _WindowedTrainerBase(pydantic.BaseModel):
                 metric_logger.log(val_metrics)
                 logger.info("Epoch: %04d, %s", epoch + 1, val_metrics)
 
-                selection = self._selection(val_metrics)
+                if len(val_loader) == 0:
+                    # No validation windows (tiny split): select on train loss.
+                    selection = train_loss
+                else:
+                    selection = self._selection(val_metrics)
                 if selection < best_selection:
                     patience_counter = 0
                     best_selection = selection
