@@ -39,7 +39,15 @@ def to_dense_adj(
     num_nodes: int,
 ) -> np.ndarray:
     """Dense weighted adjacency (duplicate edges accumulate), matching
-    torch_geometric's to_dense_adj as used at dataset_configs.py:676-680."""
+    torch_geometric's to_dense_adj as used at dataset_configs.py:676-680.
+    Uses the native C++ accumulator when available (gncde_tpu.native)."""
+    from .. import native
+
+    nat = native.dense_adj_native(
+        np.asarray(src), np.asarray(dst), edge_attr, num_nodes
+    )
+    if nat is not None:
+        return nat
     A = np.zeros((num_nodes, num_nodes), dtype=np.float32)
     w = (
         np.ones(len(src), dtype=np.float32)

@@ -57,6 +57,12 @@ def ell_from_edges(
     src: np.ndarray, dst: np.ndarray, w: np.ndarray, n: int,
     max_degree: tp.Optional[int] = None,
 ) -> ELL:
+    from .. import native
+
+    nat = native.build_ell_native(src, dst, w, n, max_degree)
+    if nat is not None:
+        indices, values = nat
+        return ELL(jnp.asarray(indices), jnp.asarray(values), n)
     degs = np.bincount(src, minlength=n)
     K = int(max_degree or (degs.max() if len(src) else 1))
     indices = np.full((n, K), n, dtype=np.int32)
