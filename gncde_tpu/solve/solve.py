@@ -87,11 +87,30 @@ class Solution:
 
 
 def _rk_step(tab: ButcherTableau, vf, t, y, h, args, f0):
-    """One explicit RK step. Returns (y1, err, f1, k0) with FSAL reuse of f0."""
+    """One RK step (explicit or ESDIRK). Returns (y1, err, f1) with FSAL
+    reuse of f0.
+
+    Implicit (ESDIRK) stages solve ``k_i = f(t + c_i h, pred + h*gamma*k_i)``
+    by a fixed count of Picard iterations -- exact for the mildly stiff
+    regimes GNCDE workloads hit; a Newton-based stage solver is the upgrade
+    path for genuinely stiff systems.
+    """
     ks = []
     for i in range(tab.num_stages):
         if i == 0:
             ki = f0
+        elif tab.implicit:
+            acc = None
+            for j, aij in enumerate(tab.a[i]):
+                if aij == 0.0:
+                    continue
+                term = aij * ks[j]
+                acc = term if acc is None else acc + term
+            pred = y if acc is None else y + h * acc
+            ti = t + tab.c[i] * h
+            ki = ks[-1]  # warm start from the previous stage
+            for _ in range(tab.picard_iters):
+                ki = vf(ti, pred + h * tab.a_diag * ki, args)
         else:
             acc = None
             for j, aij in enumerate(tab.a[i]):

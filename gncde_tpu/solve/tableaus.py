@@ -32,6 +32,9 @@ class ButcherTableau:
     order: int  # order of the propagating solution
     error_order: int  # order of the embedded estimate + 1 (controller exponent)
     fsal: bool
+    implicit: bool = False  # ESDIRK: stages i>=1 have diagonal entry a_diag
+    a_diag: float = 0.0  # the DIRK gamma
+    picard_iters: int = 4  # fixed-point iterations per implicit stage
 
     @property
     def num_stages(self) -> int:
@@ -151,6 +154,29 @@ HEUN = ButcherTableau(
     fsal=False,
 )
 
+
+
+# Kvaerno (1999) ESDIRK 3(2): 4 stages, stiffly accurate, gamma=0.435866521508459.
+# Implicit stages solved by fixed-count Picard iteration (see solve._esdirk
+# for the stiffness caveat).
+KVAERNO3 = ButcherTableau(
+    name="kvaerno3",
+    c=(0.0, 0.871733043016918, 1.0, 1.0),
+    a=(
+        (),
+        (0.435866521508459,),
+        (0.490563388419108, 0.073570090080892),
+        (0.308809969973036, 1.490563388254106, -1.235239879727145),
+    ),
+    b=(0.308809969973036, 1.490563388254106, -1.235239879727145, 0.435866521508459),
+    b_err=(-0.181753418446072, 1.416993298173214, -1.671106401235604, 0.435866521508459),
+    order=3,
+    error_order=3,
+    fsal=True,
+    implicit=True,
+    a_diag=0.435866521508459,
+)
+
 _TABLEAUS: tp.Dict[str, ButcherTableau] = {
     "tsit5": TSIT5,
     "dopri5": DOPRI5,
@@ -163,12 +189,12 @@ _TABLEAUS: tp.Dict[str, ButcherTableau] = {
     "Bosh3": BOSH3,
     "Euler": EULER,
     "Heun": HEUN,
-    # Implicit Kvaerno methods appear in reference config Literals but no
-    # shipped config uses them; map to the closest explicit method of equal
-    # order until the implicit path lands (tracked in ROADMAP).
-    "Kvaerno3": BOSH3,
-    "Kvaerno4": DOPRI5,
-    "Kvaerno5": DOPRI5,
+    "kvaerno3": KVAERNO3,
+    "Kvaerno3": KVAERNO3,
+    # Higher-order implicit variants route to Kvaerno3 for now (no shipped
+    # reference config uses them); Dopri8 routes to Dopri5.
+    "Kvaerno4": KVAERNO3,
+    "Kvaerno5": KVAERNO3,
     "Dopri8": DOPRI5,
 }
 
