@@ -112,6 +112,15 @@ class ConvEquivFusionLayer(Module):
         backend = ops_config.get_fusion_backend()
         m = self.conv_layer.transform(node_feats)
         if backend == "dense":
+            if ops_config.get_fusion_precision() == "bf16":
+                fused = self.fusion_matrix(
+                    adj_matrix.astype(jnp.bfloat16),
+                    control_gradient.astype(jnp.bfloat16),
+                )
+                return m + jnp.dot(
+                    fused, m.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
             fused = self.fusion_matrix(adj_matrix, control_gradient)
             return m + fused @ m
         if backend == "pallas":
@@ -210,6 +219,15 @@ class ConvEquivFusionDirectedLayer(Module):
         backend = ops_config.get_fusion_backend()
         m = self.conv_layer.transform(node_feats)
         if backend == "dense":
+            if ops_config.get_fusion_precision() == "bf16":
+                fused = self.fusion_matrix(
+                    adj_matrix.astype(jnp.bfloat16),
+                    control_gradient.astype(jnp.bfloat16),
+                )
+                return m + jnp.dot(
+                    fused, m.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
             fused = self.fusion_matrix(adj_matrix, control_gradient)
             return m + fused @ m
         if backend == "pallas":
