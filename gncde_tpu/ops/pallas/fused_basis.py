@@ -51,13 +51,15 @@ def _kernel(scal_ref, arow_ref, darow_ref, acol_ref, dacol_ref, m_ref,
     i = pl.program_id(0)
     tile = out_ref.shape[0]
     m_rows = m_ref[pl.ds(i * tile, tile), :]               # (T, H)
+    dvec_t = dvec_ref[pl.ds(i * tile, tile), :]            # (T, 1)
+    u_t = u_ref[pl.ds(i * tile, tile), :]                  # (T, 1)
 
     out_ref[:] = (
         rowpart
         + colpart
-        + dvec_ref[:][:, None] * m_rows
-        + u_ref[:][:, None] * svec_ref[:][None, :]
-        + wvec_ref[:][None, :]
+        + dvec_t * m_rows
+        + u_t * svec_ref[:]
+        + wvec_ref[:]
     )
 
 
@@ -74,14 +76,15 @@ def _pallas_forward(A, dA, M, scalars, dvec, u, svec, wvec, tile):
             pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),  # A cols
             pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),  # dA cols
             pl.BlockSpec(memory_space=pltpu.VMEM),  # M full
-            pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM),  # dvec
-            pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM),  # u
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # svec (H,)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # wvec (H,)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # dvec (n, 1) full
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # u (n, 1) full
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # svec (1, H)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wvec (1, H)
         ],
         out_specs=pl.BlockSpec((tile, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, H), jnp.float32),
-    )(scalars, A, dA, A, dA, M, dvec, u, svec, wvec)
+    )(scalars, A, dA, A, dA, M, dvec[:, None], u[:, None], svec[None, :],
+      wvec[None, :])
 
 
 def _prep(A, dA, M, params, directed, add_identity):
