@@ -109,8 +109,15 @@ class ODEDataSetCfg(pydantic.BaseModel):
         cache_path = self._get_cache_path(self._hash_config(), "default_train")
 
         def compute():
-            dataset = generate(self._spec())
-            return pipeline.get_split_train_data(self._spec(), dataset, self.interpolation)
+            import jax
+
+            # Data prep runs on host CPU (one-shot shapes; keeps the
+            # training accelerator free and avoids per-shape compiles there).
+            with jax.default_device(jax.devices("cpu")[0]):
+                dataset = generate(self._spec())
+                return pipeline.get_split_train_data(
+                    self._spec(), dataset, self.interpolation
+                )
 
         return self._load_or_compute(cache_path, compute)
 
@@ -120,8 +127,13 @@ class ODEDataSetCfg(pydantic.BaseModel):
         self.seed += 500
 
         def compute():
-            dataset = generate(self._spec())
-            return pipeline.get_split_test_data(self._spec(), dataset, self.interpolation)
+            import jax
+
+            with jax.default_device(jax.devices("cpu")[0]):
+                dataset = generate(self._spec())
+                return pipeline.get_split_test_data(
+                    self._spec(), dataset, self.interpolation
+                )
 
         return self._load_or_compute(cache_path, compute)
 
@@ -130,8 +142,13 @@ class ODEDataSetCfg(pydantic.BaseModel):
         self.seed += 1000
 
         def compute():
-            dataset = generate(self._spec())
-            return pipeline.get_split_test_data(self._spec(), dataset, self.interpolation)
+            import jax
+
+            with jax.default_device(jax.devices("cpu")[0]):
+                dataset = generate(self._spec())
+                return pipeline.get_split_test_data(
+                    self._spec(), dataset, self.interpolation
+                )
 
         return self._load_or_compute(cache_path, compute)
 

@@ -145,7 +145,9 @@ def solve_segment(
 ) -> np.ndarray:
     """Vmapped ground-truth solve over the batch for one graph segment.
 
-    Returns ys of shape (B, T_seg, n, C).
+    Returns ys of shape (B, T_seg, n, C). Runs on host CPU: data generation
+    compiles once per segment shape, and accelerator round-trips (or a
+    remote-TPU tunnel) would dominate -- the training chip is left free.
     """
     max_steps = int(np.ceil(spec.final_time / spec.dt0)) + 4
 
@@ -165,14 +167,16 @@ def solve_segment(
         )
         return sol.ys
 
-    ys = jax.jit(jax.vmap(one))(
-        jnp.asarray(L),
-        jnp.asarray(A),
-        jnp.asarray(x0),
-        jnp.asarray(t),
-        jnp.asarray(betas),
-        jnp.asarray(gammas),
-    )
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        ys = jax.jit(jax.vmap(one))(
+            jnp.asarray(L),
+            jnp.asarray(A),
+            jnp.asarray(x0),
+            jnp.asarray(t),
+            jnp.asarray(betas),
+            jnp.asarray(gammas),
+        )
     return np.asarray(ys)
 
 

@@ -118,6 +118,21 @@ class PermEquivGraphVectorField(Module):
 
     def __call__(self, t, y, args):
         node_features, control_adj = y, args
+
+        from ... import ops as ops_config
+
+        if (
+            ops_config.get_fusion_backend() == "megakernel"
+            and getattr(control_adj, "tgrad_is_unit", False)
+            and type(control_adj.path).__name__ == "CubicInterpolation"
+        ):
+            from ...ops.pallas.megakernel import megakernel_vf_eval
+
+            path = control_adj.path
+            return megakernel_vf_eval(
+                tuple(path.coeffs), path.ts, t, node_features, self
+            )
+
         adj, adj_derivative, tgrad = control_terms(control_adj, t)
         out = _run_stack(self.gnn_layers, node_features, adj, adj_derivative)
         return _maybe_time_scale(tgrad, out)

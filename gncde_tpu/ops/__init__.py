@@ -14,7 +14,7 @@ Backend selection for the equivariant fusion operator:
 from . import equiv_basis
 
 _BACKEND = "dense"
-_VALID = ("dense", "decomposed", "pallas")
+_VALID = ("dense", "decomposed", "pallas", "megakernel")
 _PRECISION = "f32"
 _VALID_PRECISION = ("f32", "bf16")
 
