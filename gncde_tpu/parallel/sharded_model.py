@@ -1,0 +1,84 @@
+"""Node-sharded GNCDE forward: the full adaptive solve under shard_map.
+
+The whole ``diffeqsolve`` runs INSIDE shard_map with state and control-path
+coefficients row-sharded over the ``graph`` mesh axis:
+
+  * each device interpolates only its row slab of A(t)/dA(t) (coefficients
+    are row-sharded, so the per-step coefficient gathers are local),
+  * the vf stack exchanges boundary features per evaluation
+    (parallel/sharded_ops.py: all_gather + psum_scatter + psums),
+  * the PID accept/reject decision is made GLOBAL by a pmean'd error norm
+    (SURVEY.md section 7.3 hard-part 1) -- every shard takes identical
+    steps, so the replicated solver control flow stays consistent.
+
+This is the explicit-collectives path for graphs too large for one chip; the
+GSPMD path (train/sharded.py) covers the batch-parallel regime.
+"""
+
+from __future__ import annotations
+
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..interp import CubicInterpolation, LinearInterpolation
+from ..solve import ODETerm, SaveAt, PIDController, diffeqsolve
+from .sharded_ops import sharded_vf_stack
+
+
+def make_sharded_gncde_solve(
+    mesh: Mesh,
+    vf,
+    interpolation: str = "cubic",
+    rtol: float = 1e-3,
+    atol: float = 1e-6,
+    max_steps: int = 512,
+    axis_name: str = "graph",
+):
+    """Build a jitted node-sharded CDE solve.
+
+    Returns ``f(ts, coeffs_slim, y0) -> ys`` where coeffs_slim is the slim
+    (value-channel) coefficient tuple, each (T-1, n, n), y0 is (n, H), and
+    ys is (T, n, H) -- all carried with row-sharded layouts over ``mesh``.
+    """
+
+    def local_solve(ts, coeffs_loc, y0_loc):
+        if interpolation == "cubic":
+            ctrl = CubicInterpolation(ts, coeffs_loc)
+        else:
+            ctrl = LinearInterpolation(ts, coeffs_loc)
+
+        def vf_sharded(t, y_loc, args):
+            A_loc = ctrl.evaluate(t)  # (n_loc, n): local rows only
+            dA_loc = ctrl.derivative(t)
+            return sharded_vf_stack(vf, y_loc, A_loc, dA_loc, axis_name)
+
+        sol = diffeqsolve(
+            ODETerm(vf_sharded),
+            "tsit5",
+            t0=ts[0],
+            t1=ts[-1],
+            dt0=None,
+            y0=y0_loc,
+            stepsize_controller=PIDController(rtol, atol, axis_name=axis_name),
+            saveat=SaveAt(ts=ts),
+            max_steps=max_steps,
+        )
+        return sol.ys
+
+    if interpolation == "cubic":
+        coeff_specs = tuple(P(None, axis_name, None) for _ in range(4))
+    else:
+        coeff_specs = P(None, axis_name, None)
+
+    sharded = shard_map(
+        local_solve,
+        mesh=mesh,
+        in_specs=(P(None), coeff_specs, P(axis_name, None)),
+        out_specs=P(None, axis_name, None),
+        check_rep=False,
+    )
+    return jax.jit(sharded)

@@ -66,6 +66,10 @@ class PIDController:
     factormax: float = 10.0
     pcoeff: float = 0.0
     icoeff: float = 1.0
+    # When solving under shard_map with the state sharded over a mesh axis,
+    # the accept/reject decision must be GLOBAL: set ``axis_name`` and the
+    # error norm is pmean'd across shards (SURVEY.md section 7.3 item 1).
+    axis_name: tp.Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -159,15 +163,22 @@ def _hermite_eval(theta, h, y0, f0, y1, f1):
     return h00 * y0 + h10 * h * f0 + h01 * y1 + h11 * h * f1
 
 
-def _initial_step(vf, t0, y0, args, f0, rtol, atol, error_order):
+def _initial_step(vf, t0, y0, args, f0, rtol, atol, error_order, axis_name=None):
     """Hairer-Norsett-Wanner automatic initial step size."""
+
+    def _norm(x):
+        m = jnp.mean(x**2)
+        if axis_name is not None:
+            m = jax.lax.pmean(m, axis_name)
+        return jnp.sqrt(m)
+
     scale = atol + rtol * jnp.abs(y0)
-    d0 = jnp.sqrt(jnp.mean((y0 / scale) ** 2))
-    d1 = jnp.sqrt(jnp.mean((f0 / scale) ** 2))
+    d0 = _norm(y0 / scale)
+    d1 = _norm(f0 / scale)
     h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / d1)
     y1 = y0 + h0 * f0
     f1 = vf(t0 + h0, y1, args)
-    d2 = jnp.sqrt(jnp.mean(((f1 - f0) / scale) ** 2)) / h0
+    d2 = _norm((f1 - f0) / scale) / h0
     dmax = jnp.maximum(d1, d2)
     h1 = jnp.where(
         dmax <= 1e-15,
@@ -233,7 +244,10 @@ def diffeqsolve(
         ctrl: PIDController = stepsize_controller
         if dt0 is None:
             h_init = jax.lax.stop_gradient(
-                _initial_step(vf, t0, y0, args, f0, ctrl.rtol, ctrl.atol, tab.error_order)
+                _initial_step(
+                    vf, t0, y0, args, f0, ctrl.rtol, ctrl.atol,
+                    tab.error_order, ctrl.axis_name,
+                )
             )
         else:
             h_init = jnp.asarray(dt0, dtype)
@@ -284,7 +298,10 @@ def diffeqsolve(
             # and dt adaptation are pure noise amplifiers (they otherwise
             # compound multiplicatively across steps).
             scale = ctrl.atol + ctrl.rtol * jnp.maximum(jnp.abs(y), jnp.abs(y1))
-            err_ratio = jax.lax.stop_gradient(jnp.sqrt(jnp.mean((err / scale) ** 2)))
+            mean_sq = jnp.mean((err / scale) ** 2)
+            if ctrl.axis_name is not None:
+                mean_sq = jax.lax.pmean(mean_sq, ctrl.axis_name)
+            err_ratio = jax.lax.stop_gradient(jnp.sqrt(mean_sq))
             finite = jnp.isfinite(err_ratio)
             accept = (err_ratio <= 1.0) & finite
             inv = jnp.where(err_ratio == 0.0, jnp.inf, 1.0 / err_ratio)

@@ -85,3 +85,42 @@ def test_entry_compiles():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     assert out.shape[0] == args[0].shape[0]
+
+
+def test_sharded_solve_matches_single_device():
+    """Full adaptive CDE solve under shard_map == single-device solve."""
+    from gncde_tpu.parallel.sharded_model import make_sharded_gncde_solve
+    from gncde_tpu.interp import (
+        backward_hermite_coefficients,
+        CubicInterpolation,
+        MatrixControl,
+    )
+    from gncde_tpu.solve import ODETerm, SaveAt, PIDController, diffeqsolve
+
+    n, T, H = 64, 6, 8
+    mesh = make_mesh(8, graph_axis=8)
+    vf = PermEquivGraphVectorField(
+        input_dim=H, hidden_dim=H, output_dim=H, num_layers=2,
+        data_embed_dim=1, num_nodes=n, key=jr.PRNGKey(0),
+    )
+    ts = jnp.linspace(0.0, 1.0, T)
+    A_path = jr.uniform(jr.PRNGKey(1), (T, n, n)) * 0.1
+    coeffs = backward_hermite_coefficients(ts, A_path)
+    y0 = jr.normal(jr.PRNGKey(2), (n, H)) * 0.1
+
+    # Compare at tight tolerance: at loose tolerances f32 reduction-order
+    # differences flip borderline accept decisions, and the two (both valid)
+    # step sequences diverge at the tolerance level.
+    f = make_sharded_gncde_solve(mesh, vf, rtol=1e-6, atol=1e-9, max_steps=2048)
+    with mesh:
+        ys_sharded = f(ts, tuple(coeffs), y0)
+
+    ctrl = MatrixControl(CubicInterpolation(ts, coeffs))
+    sol = diffeqsolve(
+        ODETerm(vf), "tsit5", ts[0], ts[-1], None, y0, args=ctrl,
+        stepsize_controller=PIDController(1e-6, 1e-9), saveat=SaveAt(ts=ts),
+        max_steps=2048,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ys_sharded), np.asarray(sol.ys), atol=2e-3
+    )
