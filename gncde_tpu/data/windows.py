@@ -172,3 +172,27 @@ class WindowLoader:
             self._rng.shuffle(order)
         for i in order:
             yield self.windows[i]
+
+
+class SlidingWindowTemporalDataset:
+    """API-parity counterpart of reference tgb_dataset.py:164-198: indexable
+    view of overlapping windows over a snapshot sequence."""
+
+    def __init__(self, snapshots: tp.Sequence, window_size: int, stride: int = 1):
+        self.snapshots = list(snapshots)
+        self.window_size = window_size
+        self.stride = stride
+        self._starts = list(
+            range(0, max(len(self.snapshots) - window_size + 1, 0), stride)
+        )
+
+    def __len__(self) -> int:
+        return len(self._starts)
+
+    def __getitem__(self, i: int):
+        s = self._starts[i]
+        return self.snapshots[s : s + self.window_size]
+
+
+# Loader name used by the reference (tgb_dataset.py:202-218).
+SlidingWindowTemporalLoader = WindowLoader

@@ -88,14 +88,13 @@ def _pallas_forward(A, dA, M, scalars, dvec, u, svec, wvec, tile):
 
 
 def _prep(A, dA, M, params, directed, add_identity):
-    """O(n) prep shared with the XLA path; returns kernel operands."""
+    """O(n) prep shared with the XLA path; returns kernel operands.
+
+    The B1/B2 matrices that fused_coeffs also materialises are unused here
+    (the kernel forms them tile-wise from the scalar pair) and get DCE'd.
+    """
     mk = equiv_basis.fused_coeffs_directed if directed else equiv_basis.fused_coeffs
-    # We only need the O(n) pieces; recompute them directly to avoid forming
-    # B1/B2 (which fused_coeffs materialises for the XLA path).
-    if directed:
-        p1, p2 = params[0], params[1]
-    else:
-        p1, p2 = params[0], params[1]
+    p1, p2 = params[0], params[1]
     coeffs = mk(A, dA, params)
     dvec = coeffs.dvec + (1.0 if add_identity else 0.0)
     svec = jnp.sum(M, axis=0)

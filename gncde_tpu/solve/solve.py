@@ -268,8 +268,10 @@ def diffeqsolve(
         init_mask.reshape((-1,) + (1,) * y0.ndim), y0[None], jnp.zeros((n_save,) + y0.shape, y0.dtype)
     )
 
-    def step_once(carry):
-        t, y, f, h, ys, n_acc, n_rej, just_rejected, prev_inv = carry
+    def step_core(core):
+        """One attempt; returns (new_core, aux) with aux carrying the
+        interval endpoints needed for dense output."""
+        t, y, f, h, n_acc, n_rej, just_rejected, prev_inv = core
         done = t >= t1
         h_clip = jnp.minimum(h, t1 - t)
         if jump_ts is not None:
@@ -335,13 +337,6 @@ def diffeqsolve(
         f_new = jnp.where(accept, f1, f)
         h_new = jnp.where(done, h, h_next)
 
-        # Dense-output save on accepted interval (t, t_new].
-        theta = (ts_save - t) / h_eff
-        smask = (ts_save > t) & (ts_save <= t_new) & accept
-        theta_b = theta.reshape((-1,) + (1,) * y.ndim)
-        y_interp = _hermite_eval(theta_b, h_eff, y[None], f[None], y1[None], f1[None])
-        ys_new = jnp.where(smask.reshape((-1,) + (1,) * y.ndim), y_interp, ys)
-
         rejected_now = (~accept) & ~done
         n_acc = n_acc + accept.astype(jnp.int32)
         n_rej = n_rej + rejected_now.astype(jnp.int32)
@@ -352,45 +347,97 @@ def diffeqsolve(
             )
         else:
             prev_inv_new = prev_inv
-        return (t_new, y_new, f_new, h_new, ys_new, n_acc, n_rej,
-                just_rejected_new, prev_inv_new)
+        new_core = (t_new, y_new, f_new, h_new, n_acc, n_rej,
+                    just_rejected_new, prev_inv_new)
+        aux = (t, h_eff, y, f, y1, f1, accept, t_new)
+        return new_core, aux
 
-    carry0 = (
+    def buffered_step(carry):
+        """While-loop variant: masked-scatter save points into a buffer."""
+        core, ys = carry
+        new_core, aux = step_core(core)
+        t, h_eff, y, f, y1, f1, accept, t_new = aux
+        theta = (ts_save - t) / h_eff
+        smask = (ts_save > t) & (ts_save <= t_new) & accept
+        theta_b = theta.reshape((-1,) + (1,) * y.ndim)
+        y_interp = _hermite_eval(theta_b, h_eff, y[None], f[None], y1[None], f1[None])
+        ys_new = jnp.where(smask.reshape((-1,) + (1,) * y.ndim), y_interp, ys)
+        return (new_core, ys_new)
+
+    core0 = (
         t0,
         y0,
         f0,
         h_init,
-        ys_buf,
         jnp.asarray(0, jnp.int32),
         jnp.asarray(0, jnp.int32),
         jnp.asarray(False),
         jnp.asarray(1.0, dtype),
     )
 
+    hist = None
     if adjoint == "none":
         def cond(carry):
-            t = carry[0]
-            n_acc, n_rej = carry[5], carry[6]
+            core = carry[0]
+            t, n_acc, n_rej = core[0], core[4], core[5]
             return (t < t1) & (n_acc + n_rej < max_steps)
 
-        carry = jax.lax.while_loop(cond, step_once, carry0)
+        core, ys = jax.lax.while_loop(cond, buffered_step, (core0, ys_buf))
     else:
+        # Differentiable path: record a tiny (t, y, f) step history and
+        # interpolate the save grid in ONE post-pass -- per-iteration
+        # traffic is O(state) instead of O(n_save * state) (the buffered
+        # scatter dominates training cost for dense SaveAt grids).
         outer, inner = _chunk_sizes(max_steps)
+        collect = saveat.ts is not None
 
         @jax.checkpoint
-        def chunk(carry):
+        def chunk(core):
             def body(c, _):
-                return step_once(c), None
+                new_c, aux = step_core(c)
+                if collect:
+                    t_new = aux[7]
+                    out = (t_new, new_c[1], new_c[2])  # (t, y, f) after step
+                else:
+                    out = None
+                return new_c, out
 
-            c, _ = jax.lax.scan(body, carry, None, length=inner)
-            return c
+            return jax.lax.scan(body, core, None, length=inner)
 
         def outer_body(c, _):
-            return chunk(c), None
+            return chunk(c)
 
-        carry, _ = jax.lax.scan(outer_body, carry0, None, length=outer)
+        core, outs = jax.lax.scan(outer_body, core0, None, length=outer)
 
-    t_fin, y_fin, _, _, ys, n_acc, n_rej, _, _ = carry
+        if collect:
+            # outs: (outer, inner, ...) -> (S, ...)
+            t_hist, y_hist, f_hist = jax.tree_util.tree_map(
+                lambda x: x.reshape((-1,) + x.shape[2:]), outs
+            )
+            t_hist = jnp.concatenate([t0[None], t_hist], axis=0)
+            y_hist = jnp.concatenate([y0[None], y_hist], axis=0)
+            f_hist = jnp.concatenate([f0[None], f_hist], axis=0)
+            j = jnp.clip(
+                jnp.searchsorted(t_hist, ts_save, side="left"),
+                1, t_hist.shape[0] - 1,
+            )
+            t_s, t_e = t_hist[j - 1], t_hist[j]
+            seg_h = t_e - t_s
+            theta = jnp.where(seg_h > 0, (ts_save - t_s) / jnp.where(seg_h > 0, seg_h, 1.0), 0.0)
+            shape_b = (-1,) + (1,) * y0.ndim
+            ys = _hermite_eval(
+                theta.reshape(shape_b),
+                seg_h.reshape(shape_b),
+                y_hist[j - 1],
+                f_hist[j - 1],
+                y_hist[j],
+                f_hist[j],
+            )
+        else:
+            ys = core[1][None]
+
+    t_fin, y_fin = core[0], core[1]
+    n_acc, n_rej = core[4], core[5]
     success = t_fin >= t1
 
     if saveat.ts is None:
