@@ -66,6 +66,35 @@ from . import checkpoints
 logging.basicConfig(level=logging.INFO)
 
 
+def stack_windows(batches: tp.List[tp.Dict]) -> tp.List[tp.Dict]:
+    """Group window dicts by array shapes and stack each group along a new
+    leading axis (ready for a vmapped loss)."""
+    groups: tp.Dict[tp.Tuple, tp.List[tp.Dict]] = {}
+    for b in batches:
+        sig = tuple(
+            (k, tuple(jnp.asarray(v).shape) if not isinstance(v, (tuple, list))
+             else tuple(tuple(c.shape) for c in v))
+            for k, v in sorted(b.items())
+        )
+        groups.setdefault(sig, []).append(b)
+
+    stacked = []
+    for group in groups.values():
+        out = {}
+        for k in group[0]:
+            v0 = group[0][k]
+            if isinstance(v0, (tuple, list)):
+                out[k] = tuple(
+                    jnp.stack([jnp.asarray(g[k][i]) for g in group])
+                    for i in range(len(v0))
+                )
+            else:
+                out[k] = jnp.stack([jnp.asarray(g[k]) for g in group])
+        out["_batched"] = len(group)
+        stacked.append(out)
+    return stacked
+
+
 def make_window_step_fn(optimiser, loss, has_aux=False):
     @jax.jit
     def step(model, opt_state, data_i):
@@ -97,6 +126,11 @@ class _WindowedTrainerBase(pydantic.BaseModel):
     optimiser: OptimiserCfg = pydantic.Field(...)
     logger_name: str = "gncde"
     metrics_jsonl: tp.Optional[str] = None
+    # Stack equally-shaped windows and vmap the per-window loss over them --
+    # one big solver program instead of a Python loop of small ones (the
+    # reference processes windows one at a time with batch_size=1,
+    # tgb_dataset.py:202-218). Significant on accelerators.
+    batch_windows: bool = False
 
     model_config = pydantic.ConfigDict(extra="ignore")
     _run_key: tp.Any = pydantic.PrivateAttr(default=None)
@@ -132,6 +166,16 @@ class _WindowedTrainerBase(pydantic.BaseModel):
             "Data loading done: %d/%d/%d windows",
             len(train_loader), len(val_loader), len(test_loader),
         )
+        if self.batch_windows:
+            from .windowed import stack_windows  # self-import safe
+
+            train_loader = type(train_loader)(stack_windows(list(train_loader)))
+            val_loader = type(val_loader)(stack_windows(list(val_loader)))
+            test_loader = type(test_loader)(stack_windows(list(test_loader)))
+            logger.info(
+                "Window batching: %d/%d/%d stacked groups",
+                len(train_loader), len(val_loader), len(test_loader),
+            )
 
         model = self.model.build(model_key)
         metric_logger = MetricLogger(
@@ -262,7 +306,7 @@ class PGTTrainer(_WindowedTrainerBase):
         )
 
     @staticmethod
-    def _loss(model, data_i):
+    def _loss_single(model, data_i):
         if isinstance(model, PGTGraphNeuralODE):
             t_i, adj_coeffs, adj_list, x_coeffs, x0, label = data_i
             y_pred = model(t_i, adj_coeffs, adj_list, x_coeffs, x0)
@@ -272,6 +316,15 @@ class PGTTrainer(_WindowedTrainerBase):
         y_pred = jnp.reshape(y_pred, (y_pred.shape[0], 1))
         label = jnp.reshape(label, (-1, 1))
         return jnp.mean((y_pred - label) ** 2)
+
+    @staticmethod
+    def _loss(model, data_i):
+        if data_i[0].ndim == 2:  # stacked windows -> vmap the solve
+            losses = jax.vmap(
+                lambda *args: PGTTrainer._loss_single(model, args)
+            )(*data_i)
+            return jnp.mean(losses)
+        return PGTTrainer._loss_single(model, data_i)
 
     def _eval_metrics(self, model, data_i):
         return {"validation_loss": _pgt_eval_jit(model, data_i)}
@@ -312,11 +365,20 @@ class TGBTrainer(_WindowedTrainerBase):
         return model(t_i, adj_coeffs, x_t, x0, start_time), label, mask
 
     @staticmethod
-    def _loss(model, data_i):
+    def _loss_single(model, data_i):
         y_pred, label, mask = TGBTrainer._predict(model, data_i)
         loss = jnp.sum(-label * jax.nn.log_softmax(y_pred, axis=-1), axis=-1)
         filtered = jnp.where(mask, loss, 0.0)
         return jnp.sum(filtered) / jnp.sum(mask)
+
+    @staticmethod
+    def _loss(model, data_i):
+        if data_i[1].ndim == 2:  # stacked windows
+            losses = jax.vmap(
+                lambda *args: TGBTrainer._loss_single(model, args)
+            )(*data_i)
+            return jnp.mean(losses)
+        return TGBTrainer._loss_single(model, data_i)
 
     def _eval_metrics(self, model, data_i):
         ce, ndcg = _tgb_eval_jit(model, data_i)
@@ -329,11 +391,17 @@ class TGBTrainer(_WindowedTrainerBase):
 
 @jax.jit
 def _tgb_eval_jit(model, data_i):
-    y_pred, label, mask = TGBTrainer._predict(model, data_i)
-    ce = jnp.sum(-label * jax.nn.log_softmax(y_pred, axis=-1), axis=-1)
-    ce = jnp.sum(jnp.where(mask, ce, 0.0)) / jnp.sum(mask)
-    ndcg = masked_mean_ndcg(label, y_pred, mask, k=10)
-    return ce, ndcg
+    def one(*args):
+        y_pred, label, mask = TGBTrainer._predict(model, args)
+        ce = jnp.sum(-label * jax.nn.log_softmax(y_pred, axis=-1), axis=-1)
+        ce = jnp.sum(jnp.where(mask, ce, 0.0)) / jnp.sum(mask)
+        ndcg = masked_mean_ndcg(label, y_pred, mask, k=10)
+        return ce, ndcg
+
+    if data_i[1].ndim == 2:  # stacked windows
+        ces, ndcgs = jax.vmap(one)(*data_i)
+        return jnp.mean(ces), jnp.mean(ndcgs)
+    return one(*data_i)
 
 
 # ---------------------------------------------------------------------------
@@ -359,14 +427,19 @@ class RecurrentPGTTrainer(_WindowedTrainerBase):
     def _loss(self, model, data_i):
         from ..models.dcrnn import DCRNNModelSingleStep
 
+        def one(x0_i, label_i, adj):
+            if isinstance(model, DCRNNModelSingleStep):
+                pred_y = model(x0_i, adj)
+                pred_y = jnp.squeeze(pred_y, axis=0)
+            else:
+                pred_y = model(x0_i, self._run_key)
+                pred_y = jnp.squeeze(pred_y, axis=-1)
+            return jnp.mean((pred_y - label_i) ** 2)
+
         x0_i, label_i, adj = data_i
-        if isinstance(model, DCRNNModelSingleStep):
-            pred_y = model(x0_i, adj)
-            pred_y = jnp.squeeze(pred_y, axis=0)
-        else:
-            pred_y = model(x0_i, self._run_key)
-            pred_y = jnp.squeeze(pred_y, axis=-1)
-        return jnp.mean((pred_y - label_i) ** 2)
+        if x0_i.ndim == 4:  # stacked windows
+            return jnp.mean(jax.vmap(one)(x0_i, label_i, adj))
+        return one(x0_i, label_i, adj)
 
     def _eval_metrics(self, model, data_i):
         return {"validation_loss": self._loss(model, data_i)}

@@ -106,3 +106,26 @@ def test_full_state_checkpoint_roundtrip(tmp_path):
     assert restored.epoch == 7
     np.testing.assert_allclose(restored.best_metric, 0.25)
     np.testing.assert_allclose(restored.model.weight, model.weight)
+
+
+def test_stack_windows_groups_by_shape():
+    import jax.numpy as jnp
+    from gncde_tpu.train.windowed import stack_windows
+
+    w1 = {"t": np.arange(4.0), "A": np.zeros((4, 3, 3))}
+    w2 = {"t": np.arange(4.0), "A": np.ones((4, 3, 3))}
+    w3 = {"t": np.arange(6.0), "A": np.ones((6, 3, 3))}  # different shape
+    stacked = stack_windows([w1, w2, w3])
+    sizes = sorted(s["_batched"] for s in stacked)
+    assert sizes == [1, 2]
+    big = next(s for s in stacked if s["_batched"] == 2)
+    assert big["t"].shape == (2, 4)
+    assert big["A"].shape == (2, 4, 3, 3)
+
+
+def test_stack_windows_coeff_tuples():
+    from gncde_tpu.train.windowed import stack_windows
+
+    w = {"graph_path_coeffs": tuple(np.zeros((3, 2, 2)) for _ in range(4))}
+    stacked = stack_windows([w, w])
+    assert stacked[0]["graph_path_coeffs"][0].shape == (2, 3, 2, 2)
