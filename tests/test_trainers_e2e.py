@@ -175,3 +175,40 @@ def test_recurrent_pgt_trainer_e2e(tmp_path):
     )
     summary = RecurrentPGTTrainer(**cfg).run()
     assert np.isfinite(summary["best_selection"])
+
+
+def test_dyn_gnode_floor_trainer_e2e(tmp_path):
+    """GraphNeuralODE (floored adjacency) through the dyn trainer."""
+    from gncde_tpu.train.trainer import Trainer
+
+    cfg = dict(
+        model=dict(
+            name="graph_neural_ode",
+            hidden_dim=4,
+            interpolation="cubic",
+            method="Tsit5",
+            return_sequence=True,
+            max_steps=64,
+            vector_field=dict(
+                name="GNODEFloorVectorField", hidden_dim=4, num_layers=2,
+                use_control=False,
+            ),
+        ),
+        dataset=dict(
+            name="heat", batch_size=2, num_nodes=9, dynamic_graph=True,
+            all_dynamic=True, graph_type="grid", final_time=1.0, time_tick=10,
+            sampling_type="irregular", method="Tsit5", dt0=0.05,
+            interpolation="cubic", cache_dir=str(tmp_path / "cache"),
+        ),
+        optimiser=dict(
+            name="adamw", weight_decay=1e-4, gradient_clipping=True,
+            schedule=dict(name="constant_schedule", value=1e-2),
+        ),
+        loss=dict(name="MSE"),
+        epochs=2, eval_freq=1, log_freq=1, min_epochs=0,
+        checkpoint_dir=str(tmp_path / "ckpt"), checkpoint_name="t",
+        logger_name="test-gnode",
+        wandb=dict(project="test", mode="disabled"),
+    )
+    summary = Trainer(**cfg).run()
+    assert np.isfinite(summary["validation_loss"])
