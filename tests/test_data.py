@@ -220,3 +220,66 @@ class TestPipeline:
         assert d["train_graph_path_coeffs"][0].shape[:2] == (2, T_train - 1)
         d2 = get_split_test_data(spec, res, "cubic")
         assert "test_graph_path_coeffs" in d2
+
+
+class TestOtherSystems:
+    def _spec(self, name, **kw):
+        from gncde_tpu.data.ode_dataset import ODEDatasetSpec
+
+        base = dict(
+            name=name, batch_size=2, dynamic_graph=False, all_dynamic=False,
+            graph_type="grid", num_nodes=9, final_time=0.5, time_tick=8,
+            sampling_type="equal", method="Tsit5", dt0=0.01, seed=11,
+        )
+        base.update(kw)
+        return ODEDatasetSpec(**base)
+
+    def test_gene_generation_finite(self):
+        from gncde_tpu.data.ode_dataset import generate
+
+        res = generate(self._spec("gene"))
+        assert res.true_y.shape == (2, 8, 9)
+        assert np.isfinite(res.true_y).all()
+
+    def test_mutualistic_generation_finite(self):
+        from gncde_tpu.data.ode_dataset import generate
+
+        res = generate(self._spec("mutualistic", final_time=0.2))
+        assert res.true_y.shape == (2, 8, 9)
+        assert np.isfinite(res.true_y).all()
+
+
+class TestPaddingNonePath:
+    def test_linear_interp_with_nan_padding_solves(self):
+        """padding_mode='none' produces NaNs between events; the NaN-filling
+        interpolation must yield a finite, solvable control path."""
+        import jax
+        import jax.numpy as jnp
+        import jax.random as jr
+        from gncde_tpu.data.ode_dataset import ODEDatasetSpec, generate
+        from gncde_tpu.data.pipeline import get_split_train_data
+        from gncde_tpu.models import GraphNeuralCDE
+        from gncde_tpu.models.vector_fields import PermEquivGraphVectorField
+
+        spec = ODEDatasetSpec(
+            name="heat", batch_size=2, dynamic_graph=True, all_dynamic=True,
+            graph_type="grid", num_nodes=9, final_time=1.0, time_tick=10,
+            sampling_type="irregular", method="Tsit5", dt0=0.05,
+            padding_mode="none", seed=5,
+        )
+        res = generate(spec)
+        d = get_split_train_data(spec, res, "linear")
+        assert np.isfinite(np.asarray(d["train_graph_path_coeffs"])).all()
+
+        vf = PermEquivGraphVectorField(
+            input_dim=4, hidden_dim=4, output_dim=4, num_layers=2,
+            data_embed_dim=1, num_nodes=9, key=jr.PRNGKey(0),
+        )
+        model = GraphNeuralCDE(
+            vf, hidden_dim=4, interpolation="linear", max_steps=64,
+            key=jr.PRNGKey(1),
+        )
+        out = jax.vmap(model)(
+            d["train_t"], d["train_graph_path_coeffs"], d["true_y0"]
+        )
+        assert np.isfinite(np.asarray(out)).all()
