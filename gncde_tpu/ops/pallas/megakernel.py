@@ -106,11 +106,9 @@ def _make_kernel(n: int, dims: tp.List[tp.Tuple[int, int]]):
             B1 = (1.0 + p1[0]) * A + (1.0 + p1[1]) * dA
             B2 = p2[0] * A + p2[1] * dA
             rowpart = jnp.dot(B1, M, preferred_element_type=jnp.float32)
-            colpart = jax.lax.dot_general(
-                B2, M,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            # Mosaic rejects dim-0 lhs contraction on VMEM values; an
+            # explicit in-register transpose lowers cleanly.
+            colpart = jnp.dot(B2.T, M, preferred_element_type=jnp.float32)
             dvec = (
                 p3[0] * diagA
                 + p3[1] * diagdA

@@ -96,6 +96,9 @@ def stack_windows(batches: tp.List[tp.Dict]) -> tp.List[tp.Dict]:
 
 
 def make_window_step_fn(optimiser, loss, has_aux=False):
+    # NOTE: no buffer donation here -- models with the reference's key-reuse
+    # quirks (e.g. PGT encoder/decoder built from the same key) can hold
+    # aliased buffers, which XLA rejects when donated twice.
     @jax.jit
     def step(model, opt_state, data_i):
         out, grads = filter_value_and_grad(loss, has_aux=has_aux)(model, data_i)
