@@ -120,7 +120,10 @@ def _make_kernel(n: int, dims: tp.List[tp.Tuple[int, int]]):
             v = (p5[0] * rA + p5[1] * rdA) / n
             c7 = (p7[0] + p7[1]) * sA / n**2
             s = jnp.sum(M, axis=0)
-            w = v @ M
+            # 1-D lhs dots don't lower through Mosaic; keep it 2-D.
+            w = jnp.dot(
+                v[None, :], M, preferred_element_type=jnp.float32
+            )[0]
             feats = (
                 rowpart
                 + colpart

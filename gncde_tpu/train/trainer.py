@@ -109,6 +109,19 @@ class Trainer(pydantic.BaseModel):
         config_str = json.dumps(self.model_dump(), sort_keys=True, default=str)
         return hashlib.md5(config_str.encode()).hexdigest()
 
+    def _resume_hash(self) -> str:
+        """Config identity for resume: run-length/logging knobs excluded so
+        'train for longer' resumes instead of restarting."""
+        payload = self.model_dump(
+            exclude={
+                "epochs", "patience", "min_epochs", "log_freq", "eval_freq",
+                "resume", "metrics_jsonl", "checkpoint_name", "logger_name",
+                "wandb",
+            }
+        )
+        config_str = json.dumps(payload, sort_keys=True, default=str)
+        return hashlib.md5(config_str.encode()).hexdigest()
+
     def run_initialisations(self):
         random.seed(self.seed)
         np.random.seed(self.seed)
@@ -161,7 +174,7 @@ class Trainer(pydantic.BaseModel):
         start_epoch = 0
         best_validation_loss, corr_test_loss, best_epoch = np.inf, np.inf, 0
         corr_test_l1_loss = np.inf
-        resume_dir = os.path.join(self.checkpoint_dir, f"{config_hash}_state")
+        resume_dir = os.path.join(self.checkpoint_dir, f"{self._resume_hash()}_state")
         if self.resume:
             restored = checkpoints.load_state(
                 resume_dir,

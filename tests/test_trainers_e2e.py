@@ -212,3 +212,47 @@ def test_dyn_gnode_floor_trainer_e2e(tmp_path):
     )
     summary = Trainer(**cfg).run()
     assert np.isfinite(summary["validation_loss"])
+
+
+def test_dyn_trainer_resume(tmp_path):
+    """Full-state resume: second run continues from the saved epoch (a
+    capability the reference lacks entirely, SURVEY.md section 5)."""
+    from gncde_tpu.train.trainer import Trainer
+
+    base = dict(
+        model=dict(
+            name="graph_neural_cde", hidden_dim=4, interpolation="cubic",
+            method="Tsit5", return_sequence=True, max_steps=64,
+            vector_field=dict(
+                name="PermEquivGraphVectorField", hidden_dim=4, num_layers=2,
+                use_control=False,
+            ),
+        ),
+        dataset=dict(
+            name="heat", batch_size=2, num_nodes=9, dynamic_graph=True,
+            all_dynamic=True, graph_type="grid", final_time=1.0, time_tick=10,
+            sampling_type="irregular", method="Tsit5", dt0=0.05,
+            interpolation="cubic", cache_dir=str(tmp_path / "cache"),
+        ),
+        optimiser=dict(
+            name="adamw", weight_decay=1e-4, gradient_clipping=True,
+            schedule=dict(name="constant_schedule", value=1e-2),
+        ),
+        loss=dict(name="MSE"),
+        eval_freq=1, log_freq=1, min_epochs=0,
+        checkpoint_dir=str(tmp_path / "ckpt"), checkpoint_name="t",
+        logger_name="test-resume", wandb=dict(project="test", mode="disabled"),
+    )
+    Trainer(**base, epochs=2, resume=True).run()
+    # Second run with more epochs resumes rather than restarting.
+    import logging
+
+    records = []
+
+    class Grab(logging.Handler):
+        def emit(self, r):
+            records.append(r.getMessage())
+
+    logging.getLogger("test-resume").addHandler(Grab())
+    Trainer(**base, epochs=3, resume=True).run()
+    assert any("Resumed from epoch" in m for m in records)
