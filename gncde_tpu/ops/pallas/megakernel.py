@@ -62,16 +62,17 @@ def _make_kernel(n: int, dims: tp.List[tp.Tuple[int, int]]):
         A = ((d * tau + c) * tau + b) * tau + a  # (n, n), VMEM value
         dA = (3.0 * d * tau + 2.0 * c) * tau + b
 
-        # Shared reductions.
-        rA = jnp.sum(A, axis=1)  # (n,)
-        rdA = jnp.sum(dA, axis=1)
+        # Shared reductions. Everything stays 2-D ((n, 1) / (1, H)): Mosaic's
+        # relayouts for 1-D vectors are limited.
+        rA = jnp.sum(A, axis=1, keepdims=True)  # (n, 1)
+        rdA = jnp.sum(dA, axis=1, keepdims=True)
         sA = jnp.sum(rA)
         sdA = jnp.sum(rdA)
         rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
         eye = rows == cols
-        diagA = jnp.sum(jnp.where(eye, A, 0.0), axis=1)
-        diagdA = jnp.sum(jnp.where(eye, dA, 0.0), axis=1)
+        diagA = jnp.sum(jnp.where(eye, A, 0.0), axis=1, keepdims=True)
+        diagdA = jnp.sum(jnp.where(eye, dA, 0.0), axis=1, keepdims=True)
 
         feats = z_ref[:]
         for l in range(L):
@@ -115,22 +116,13 @@ def _make_kernel(n: int, dims: tp.List[tp.Tuple[int, int]]):
                 + (p6[0] * rA + p6[1] * rdA) / n
                 + (p8[0] * sA + p8[1] * sdA) / n**2
                 + 1.0  # folded residual identity
-            )
-            u = (p4[0] * rA + p4[1] * rdA) / n
-            v = (p5[0] * rA + p5[1] * rdA) / n
+            )  # (n, 1)
+            u = (p4[0] * rA + p4[1] * rdA) / n  # (n, 1)
+            v = (p5[0] * rA + p5[1] * rdA) / n  # (n, 1)
             c7 = (p7[0] + p7[1]) * sA / n**2
-            s = jnp.sum(M, axis=0)
-            # 1-D lhs dots don't lower through Mosaic; keep it 2-D.
-            w = jnp.dot(
-                v[None, :], M, preferred_element_type=jnp.float32
-            )[0]
-            feats = (
-                rowpart
-                + colpart
-                + dvec[:, None] * M
-                + u[:, None] * s[None, :]
-                + (w + c7 * s)[None, :]
-            )
+            s = jnp.sum(M, axis=0, keepdims=True)  # (1, H)
+            w = jnp.sum(v * M, axis=0, keepdims=True)  # (1, H)
+            feats = rowpart + colpart + dvec * M + u * s + (w + c7 * s)
             if l < L - 1:
                 feats = jnp.maximum(feats, 0.0)
 
