@@ -181,3 +181,13 @@ class TestDirectedAndEncIdx:
                 input_dim=H, hidden_dim=H, output_dim=H, num_layers=2,
                 data_embed_dim=1, num_nodes=N, enc_idx=True, key=jr.PRNGKey(1),
             )
+
+
+def test_kvaerno3_model_solves():
+    """Implicit method literal from the reference configs runs end to end."""
+    ts, coeffs = _adj_coeffs(jr.PRNGKey(0))
+    model = GraphNeuralCDE(_mk_vf(), hidden_dim=H, interpolation="cubic",
+                           method="Kvaerno3", max_steps=128, key=jr.PRNGKey(2))
+    out = model(ts, coeffs, jr.normal(jr.PRNGKey(3), (N, 1)))
+    assert out.shape == (T, N, 1)
+    assert np.isfinite(np.asarray(out)).all()
