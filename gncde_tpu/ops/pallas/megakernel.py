@@ -14,6 +14,15 @@ pallas_call with everything VMEM-resident:
 
 Constraints: single-core kernel; needs ~(6 n^2 + small) * 4 bytes of VMEM
 (n <= ~1000 in f32). Backward runs through the XLA path via custom_vjp.
+
+STATUS: experimental. Numerically validated (tests/test_megakernel.py,
+interpret mode; gradients match the XLA path), but Mosaic compile time for
+this whole-array single-grid kernel is prohibitive at n >= ~400 with the
+current toolchain (>15 min over the remote-compile tunnel), so the default
+backend remains the XLA slim+bf16 path (see PERFORMANCE.md). A tiled-grid
+variant cannot fuse across layers (each layer consumes the full previous
+output), so closing this requires either faster Mosaic compiles or a
+two-kernel pipeline (coeff->A/dA kernel + per-layer fused conv kernel).
 """
 
 from __future__ import annotations
