@@ -170,8 +170,6 @@ class _WindowedTrainerBase(pydantic.BaseModel):
             len(train_loader), len(val_loader), len(test_loader),
         )
         if self.batch_windows:
-            from .windowed import stack_windows  # self-import safe
-
             train_loader = type(train_loader)(stack_windows(list(train_loader)))
             val_loader = type(val_loader)(stack_windows(list(val_loader)))
             test_loader = type(test_loader)(stack_windows(list(test_loader)))
