@@ -1,0 +1,1 @@
+from . import batching, profiling, task_cache
