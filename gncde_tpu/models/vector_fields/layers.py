@@ -123,6 +123,13 @@ class ConvEquivFusionLayer(Module):
                 )
             fused = self.fusion_matrix(adj_matrix, control_gradient)
             return m + fused @ m
+        if backend == "pipeline":
+            from ...ops.pallas.pipeline import pipeline_fused_apply
+
+            return pipeline_fused_apply(
+                adj_matrix, control_gradient, m, self.params,
+                False, True,
+            )
         if backend == "pallas":
             from ...ops.pallas.fused_basis import fused_apply_pallas
 
@@ -230,6 +237,13 @@ class ConvEquivFusionDirectedLayer(Module):
                 )
             fused = self.fusion_matrix(adj_matrix, control_gradient)
             return m + fused @ m
+        if backend == "pipeline":
+            from ...ops.pallas.pipeline import pipeline_fused_apply
+
+            return pipeline_fused_apply(
+                adj_matrix, control_gradient, m, self.params,
+                True, True,
+            )
         if backend == "pallas":
             from ...ops.pallas.fused_basis import fused_apply_pallas
 
