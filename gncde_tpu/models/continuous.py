@@ -29,7 +29,26 @@ def make_control(interpolation: str, ts: jax.Array, coeffs, slim: bool = False):
     solver hot loop.
     """
     if slim:
-        return MatrixControl.from_stacked(interpolation, ts, coeffs)
+        ctrl = MatrixControl.from_stacked(interpolation, ts, coeffs)
+        from .. import ops as ops_config
+
+        if ops_config.get_fusion_precision() == "bf16":
+            # Store the adjacency coefficient planes in bfloat16: they are
+            # the hot loop's only O(n^2) HBM reads, and the fusion backends
+            # consume them as bf16 matmul operands anyway (~3e-3 relative
+            # error, safe at the reference's rtol=1e-3 tolerance).
+            path = ctrl.path
+            if isinstance(path, CubicInterpolation):
+                ctrl = MatrixControl(
+                    CubicInterpolation(
+                        path.ts, tuple(c.astype(jnp.bfloat16) for c in path.coeffs)
+                    )
+                )
+            else:
+                ctrl = MatrixControl(
+                    LinearInterpolation(path.ts, path.ys.astype(jnp.bfloat16))
+                )
+        return ctrl
     if interpolation == "linear":
         return LinearInterpolation(ts, coeffs)
     elif interpolation == "cubic":

@@ -126,12 +126,15 @@ class PermEquivGraphVectorField(Module):
             and getattr(control_adj, "tgrad_is_unit", False)
             and type(control_adj.path).__name__ == "CubicInterpolation"
         ):
-            from ...ops.pallas.megakernel import megakernel_vf_eval
+            from ...ops.pallas.megakernel import MEGAKERNEL_MAX_N, megakernel_vf_eval
 
-            path = control_adj.path
-            return megakernel_vf_eval(
-                tuple(path.coeffs), path.ts, t, node_features, self
-            )
+            if node_features.shape[0] <= MEGAKERNEL_MAX_N:
+                path = control_adj.path
+                return megakernel_vf_eval(
+                    tuple(path.coeffs), path.ts, t, node_features, self
+                )
+            # Graph too large for the whole-VMEM kernel: the layer dispatch
+            # below falls back to the XLA dense path.
 
         adj, adj_derivative, tgrad = control_terms(control_adj, t)
         out = _run_stack(self.gnn_layers, node_features, adj, adj_derivative)

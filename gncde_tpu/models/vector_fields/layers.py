@@ -111,7 +111,10 @@ class ConvEquivFusionLayer(Module):
 
         backend = ops_config.get_fusion_backend()
         m = self.conv_layer.transform(node_feats)
-        if backend == "dense":
+        # "megakernel" is a vector-field-level backend (fields.py intercepts
+        # before the layers); when the control shape doesn't qualify, the
+        # layer-level fallback is the fastest XLA path: dense.
+        if backend in ("dense", "megakernel"):
             if ops_config.get_fusion_precision() == "bf16":
                 fused = self.fusion_matrix(
                     adj_matrix.astype(jnp.bfloat16),
@@ -225,7 +228,8 @@ class ConvEquivFusionDirectedLayer(Module):
 
         backend = ops_config.get_fusion_backend()
         m = self.conv_layer.transform(node_feats)
-        if backend == "dense":
+        # No directed megakernel yet: fall back to the fastest XLA path.
+        if backend in ("dense", "megakernel"):
             if ops_config.get_fusion_precision() == "bf16":
                 fused = self.fusion_matrix(
                     adj_matrix.astype(jnp.bfloat16),

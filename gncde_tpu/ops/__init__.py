@@ -1,25 +1,32 @@
 """Graph operator library.
 
 Backend selection for the equivariant fusion operator:
-  * "auto"       -- (default) "pipeline" on TPU, "dense" elsewhere, resolved
-                    lazily on first use so importing the package never spins
-                    up a device backend.
-  * "pipeline"   -- streamed tiled Pallas kernel (ops/pallas/pipeline.py):
-                    one pass over (A, dA) per layer computes the row- and
-                    transpose-matmul families plus the rank-structured
-                    epilogues; fixed tile shapes so Mosaic compile time is
-                    n-independent. The production TPU path.
+  * "auto"       -- (default) "megakernel" on TPU, "dense" elsewhere,
+                    resolved lazily on first use so importing the package
+                    never spins up a device backend.
+  * "megakernel" -- whole-VMEM Pallas kernel fusing coefficient evaluation +
+                    the full undirected vf layer stack (ops/pallas/
+                    megakernel.py). The production TPU path: 2.7x over the
+                    XLA dense-bf16 path at reference scale (v5e, see
+                    PERFORMANCE.md). Applies at the vector-field level for
+                    undirected perm-equiv fields with a slim cubic control
+                    and n <= MEGAKERNEL_MAX_N; every other shape falls back
+                    to "dense" inside the layer dispatch.
   * "dense"      -- reference-algorithm formulation; XLA fuses the 8/11 basis
                     terms into the single matmul's operand. The CPU/debug
-                    default and the oracle anchor.
+                    default, the oracle anchor, and the fastest XLA-only TPU
+                    path (with precision "bf16").
   * "decomposed" -- rank-structured 2-matmul path (equiv_basis.fused_apply).
                     The building block for the sparse/edge-partitioned scaled
                     regime where A_bar cannot be materialised.
   * "sparse"     -- ELL sparse message passing (ops/sparse.py) for scaled-n
                     graphs; requires a sparse control path (interp.SparseMatrixControl).
+  * "pipeline"   -- streamed fixed-tile Pallas kernel (ops/pallas/
+                    pipeline.py). Measured slower than XLA dense-bf16 on v5e
+                    at both n=400 and n=2048 (benchmarks/pipeline_micro.py);
+                    kept as a comparison point.
   * "pallas"     -- whole-block Pallas kernel over the decomposition
-                    (superseded by "pipeline"; kept for comparison).
-  * "megakernel" -- experimental whole-VMEM single-kernel vf evaluation.
+                    (superseded; kept for comparison).
 """
 
 from . import equiv_basis
@@ -45,7 +52,7 @@ def get_fusion_backend() -> str:
     if _AUTO_RESOLVED is None:
         import jax
 
-        _AUTO_RESOLVED = "pipeline" if jax.default_backend() == "tpu" else "dense"
+        _AUTO_RESOLVED = "megakernel" if jax.default_backend() == "tpu" else "dense"
     return _AUTO_RESOLVED
 
 

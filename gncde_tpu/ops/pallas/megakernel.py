@@ -12,17 +12,17 @@ pallas_call with everything VMEM-resident:
       -> L x [RMSNorm -> Linear -> rank-structured fused matvec]
     write out (n, H)                                        -- tiny
 
-Constraints: single-core kernel; needs ~(6 n^2 + small) * 4 bytes of VMEM
-(n <= ~1000 in f32). Backward runs through the XLA path via custom_vjp.
+Constraints: single-core whole-VMEM kernel; VMEM footprint is roughly
+``n^2 * (4 coeff planes + A/dA f32 + 4 matmul-operand copies)`` which caps
+``n`` at :data:`MEGAKERNEL_MAX_N` (larger graphs fall back to the XLA dense
+path in the vector-field dispatch). Backward runs through the XLA path via
+custom_vjp (the kernel accelerates the forward half; inference fully).
 
-STATUS: experimental. Numerically validated (tests/test_megakernel.py,
-interpret mode; gradients match the XLA path), but Mosaic compile time for
-this whole-array single-grid kernel is prohibitive at n >= ~400 with the
-current toolchain (>15 min over the remote-compile tunnel), so the default
-backend remains the XLA slim+bf16 path (see PERFORMANCE.md). A tiled-grid
-variant cannot fuse across layers (each layer consumes the full previous
-output), so closing this requires either faster Mosaic compiles or a
-two-kernel pipeline (coeff->A/dA kernel + per-layer fused conv kernel).
+STATUS: production TPU path since round 2. The round-1 Mosaic compile-time
+blocker (>15 min at n>=400) no longer reproduces with the current toolchain:
+compile is ~3 s at n=400 and steady-state is 2.7x faster than the XLA
+slim+bf16 dense path (144 us vs 394 us per batched vf eval at n=400, B=16,
+L=3 on v5e -- see benchmarks/megakernel_micro.py and PERFORMANCE.md).
 """
 
 from __future__ import annotations
@@ -36,6 +36,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _EPS = 1e-6
+
+# Largest n the whole-VMEM kernel serves: VMEM bytes ~= n^2 * 24 (bf16 coeff
+# planes 8 + f32 A/dA 8 + matmul-operand copies 8) must stay under ~16 MB/core
+# with headroom for double-buffered coefficient DMA.
+MEGAKERNEL_MAX_N = 640
 
 
 def _layer_param_arrays(vf):
@@ -55,21 +60,32 @@ def _layer_param_arrays(vf):
     return out
 
 
-def _make_kernel(n: int, dims: tp.List[tp.Tuple[int, int]]):
-    """dims: [(Hin, Hout)] per layer."""
+def _make_kernel(n: int, dims: tp.List[tp.Tuple[int, int]], bf16: bool):
+    """dims: [(Hin, Hout)] per layer; bf16 selects MXU operand precision."""
     L = len(dims)
+    mm_dtype = jnp.bfloat16 if bf16 else jnp.float32
 
     def kernel(idx_ref, tau_ref, d_ref, c_ref, b_ref, a_ref, z_ref, *rest):
         layer_refs = rest[: 5 * L]
         out_ref = rest[5 * L]
         tau = tau_ref[0, 0]
 
-        d = d_ref[0]
-        c = c_ref[0]
-        b = b_ref[0]
-        a = a_ref[0]
+        # Coefficient planes may be stored bf16 (half the HBM traffic -- the
+        # kernel's only O(n^2) reads); Hermite evaluation runs in f32.
+        d = d_ref[0].astype(jnp.float32)
+        c = c_ref[0].astype(jnp.float32)
+        b = b_ref[0].astype(jnp.float32)
+        a = a_ref[0].astype(jnp.float32)
         A = ((d * tau + c) * tau + b) * tau + a  # (n, n), VMEM value
         dA = (3.0 * d * tau + 2.0 * c) * tau + b
+
+        # Transpose once, outside the layer loop: each layer's column part is
+        # B2^T = p2[0] A^T + p2[1] dA^T, so two in-register transposes here
+        # replace one per layer (relayouts are the VPU's weak spot).
+        At = A.T.astype(mm_dtype)
+        dAt = dA.T.astype(mm_dtype)
+        Ah = A.astype(mm_dtype)
+        dAh = dA.astype(mm_dtype)
 
         # Shared reductions. Everything stays 2-D ((n, 1) / (1, H)): Mosaic's
         # relayouts for 1-D vectors are limited.
@@ -113,12 +129,20 @@ def _make_kernel(n: int, dims: tp.List[tp.Tuple[int, int]]):
             p7 = p[6]
             p8 = p[7]
 
-            B1 = (1.0 + p1[0]) * A + (1.0 + p1[1]) * dA
-            B2 = p2[0] * A + p2[1] * dA
-            rowpart = jnp.dot(B1, M, preferred_element_type=jnp.float32)
-            # Mosaic rejects dim-0 lhs contraction on VMEM values; an
-            # explicit in-register transpose lowers cleanly.
-            colpart = jnp.dot(B2.T, M, preferred_element_type=jnp.float32)
+            # In bf16 precision mode the MXU operands are bfloat16 with f32
+            # accumulation: the v5e MXU is native-bf16 (f32 matmuls are
+            # emulated at a fraction of that throughput) and the ~3e-3
+            # relative error matches the XLA bf16 path's, safe at the
+            # reference's rtol=1e-3 training tolerance.
+            b1_0 = (1.0 + p1[0]).astype(mm_dtype)
+            b1_1 = (1.0 + p1[1]).astype(mm_dtype)
+            b2_0 = p2[0].astype(mm_dtype)
+            b2_1 = p2[1].astype(mm_dtype)
+            B1 = b1_0 * Ah + b1_1 * dAh
+            B2t = b2_0 * At + b2_1 * dAt  # == B2^T, transposes hoisted
+            Mh = M.astype(mm_dtype)
+            rowpart = jnp.dot(B1, Mh, preferred_element_type=jnp.float32)
+            colpart = jnp.dot(B2t, Mh, preferred_element_type=jnp.float32)
             dvec = (
                 p3[0] * diagA
                 + p3[1] * diagdA
@@ -140,11 +164,11 @@ def _make_kernel(n: int, dims: tp.List[tp.Tuple[int, int]]):
     return kernel
 
 
-def _forward(coeffs, idx, tau, Z, layer_arrays, n, dims):
+def _forward(coeffs, idx, tau, Z, layer_arrays, n, dims, bf16):
     d, c, b, a = coeffs
     L = len(dims)
     H_out = dims[-1][1]
-    kernel = _make_kernel(n, dims)
+    kernel = _make_kernel(n, dims, bf16)
 
     # With num_scalar_prefetch=1, block index_maps receive (*grid_ids,
     # scalar_ref): select the active coefficient interval via the prefetched
@@ -207,6 +231,8 @@ def megakernel_vf_eval(coeffs, ts, t, Z, vf):
     backward pass runs the equivalent XLA program (megakernel accelerates
     the forward/inference path; training still gains the forward half).
     """
+    from ... import ops as ops_config
+
     n = Z.shape[0]
     dims = [
         (l.conv_layer.linear.in_features, l.conv_layer.linear.out_features)
@@ -214,7 +240,8 @@ def megakernel_vf_eval(coeffs, ts, t, Z, vf):
     ]
     idx, tau = _interval(ts, t)
     layer_arrays = _layer_param_arrays(vf)
-    return _forward(coeffs, idx, tau, Z, layer_arrays, n, dims)
+    bf16 = ops_config.get_fusion_precision() == "bf16"
+    return _forward(coeffs, idx, tau, Z, layer_arrays, n, dims, bf16)
 
 
 def _mk_fwd(coeffs, ts, t, Z, vf):
