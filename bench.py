@@ -15,7 +15,14 @@ at the reference workload scale (n=400, L=3), comparing:
     97-102) + the dense 8-term fusion (layers.py:102-160).
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"} where
-``vs_baseline`` = reference_time / tpu_native_time (>1 => faster).
+``vs_baseline`` = reference_time / tpu_native_time (>1 => faster). The
+``extras`` key carries the secondary metrics from BASELINE.md's list:
+adaptive-solver steps/s (Tsit5+PID on the flagship shape, counted from
+sol.stats), an end-to-end training-step time, and a scaled-n (n=2048, bf16,
+dense-XLA fallback regime) vf-eval point where the MXU rather than HBM is
+the story. ``extras.baseline_from_cache`` is true -- and a warning goes to
+stderr -- iff the reference-path measurement failed and the ratio uses the
+cached same-chip timing.
 """
 
 from __future__ import annotations
@@ -127,6 +134,119 @@ def time_runner(run, coeffs, y0):
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), ".bench_baseline.json")
 
 
+def solver_steps_per_s(vf, ts, coeffs, y0):
+    """Adaptive Tsit5+PID solve on the flagship shape; steps/s from
+    sol.stats (actual accepted+rejected step counts, SURVEY.md section 7.3
+    item 7)."""
+    from gncde_tpu.solve import ODETerm, PIDController, SaveAt, diffeqsolve
+
+    term = ODETerm(vf)
+
+    def solve_one(coeffs_i, y0_i):
+        slim = tuple(c[..., -1].astype(jnp.bfloat16) for c in coeffs_i)
+        ctrl = MatrixControl(CubicInterpolation(ts, slim))
+        sol = diffeqsolve(
+            term, "Tsit5", t0=ts[0], t1=ts[-1], dt0=None, y0=y0_i,
+            args=ctrl, stepsize_controller=PIDController(rtol=1e-3, atol=1e-6),
+            saveat=SaveAt(t1=True), max_steps=256,
+        )
+        return sol.ys, sol.stats["num_accepted_steps"] + sol.stats["num_rejected_steps"]
+
+    run = jax.jit(lambda c, y: jax.vmap(solve_one)(c, y))
+    ys, steps = run(coeffs, y0)
+    ys.block_until_ready()
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        ys, steps = run(coeffs, y0)
+    ys.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    total_steps = float(jnp.sum(steps))
+    return total_steps / dt, dt
+
+
+def train_step_time(vf, ts, coeffs, y0):
+    """One jitted value_and_grad + sgd-update step through the full
+    adaptive solve (checkpointed adjoint), batch-vmapped."""
+    from gncde_tpu.nn import apply_updates, filter_value_and_grad
+    from gncde_tpu.solve import ODETerm, PIDController, SaveAt, diffeqsolve
+
+    def loss_fn(model, coeffs_b, y0_b):
+        term = ODETerm(model)
+
+        def solve_one(coeffs_i, y0_i):
+            slim = tuple(c[..., -1].astype(jnp.bfloat16) for c in coeffs_i)
+            ctrl = MatrixControl(CubicInterpolation(ts, slim))
+            sol = diffeqsolve(
+                term, "Tsit5", t0=ts[0], t1=ts[-1], dt0=None, y0=y0_i,
+                args=ctrl,
+                stepsize_controller=PIDController(rtol=1e-3, atol=1e-6),
+                saveat=SaveAt(t1=True), max_steps=256,
+            )
+            return sol.ys
+
+        ys = jax.vmap(solve_one)(coeffs_b, y0_b)
+        return jnp.mean(ys**2)
+
+    @jax.jit
+    def step(model, coeffs_b, y0_b):
+        loss, grads = filter_value_and_grad(loss_fn)(model, coeffs_b, y0_b)
+        updates = jax.tree_util.tree_map(
+            lambda g: None if g is None else -1e-3 * g, grads,
+            is_leaf=lambda x: x is None,
+        )
+        return loss, apply_updates(model, updates)
+
+    loss, m = step(vf, coeffs, y0)
+    loss.block_until_ready()
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        loss, m = step(vf, coeffs, y0)
+    loss.block_until_ready()
+    return (time.perf_counter() - t0) / reps
+
+
+def scaled_n_edges_per_s(n=2048, B=2, evals=20):
+    """vf-eval throughput at n=2048 (above MEGAKERNEL_MAX_N: exercises the
+    XLA dense-bf16 fallback regime where the MXU, not HBM, binds)."""
+    key = jr.PRNGKey(1)
+    k_vf, k_A, k_y = jr.split(key, 3)
+    vf = PermEquivGraphVectorField(
+        input_dim=HIDDEN, hidden_dim=HIDDEN, output_dim=HIDDEN,
+        num_layers=LAYERS, data_embed_dim=1, num_nodes=n, key=k_vf,
+    )
+    ts = jnp.linspace(0.0, 1.0, 6)
+    A_path = jr.uniform(k_A, (B, 6, n, n)) * 0.1
+    coeffs = jax.vmap(
+        lambda x: tuple(
+            c.astype(jnp.bfloat16) for c in backward_hermite_coefficients(ts, x)
+        )
+    )(A_path)
+    y0 = jr.normal(k_y, (B, n, HIDDEN)) * 0.1
+    eval_ts = jnp.linspace(0.01, 0.99, evals)
+
+    def one(coeffs_i, y0_i):
+        ctrl = MatrixControl(CubicInterpolation(ts, coeffs_i))
+
+        def body(y, t):
+            return y + 1e-3 * vf(t, y, ctrl), None
+
+        y_fin, _ = jax.lax.scan(body, y0_i, eval_ts)
+        return y_fin
+
+    run = jax.jit(lambda c, y: jax.vmap(one)(c, y))
+    out = run(coeffs, y0)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        out = run(coeffs, y0)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    return n * n * B * LAYERS * evals / dt
+
+
 def main():
     vf, ts, coeffs, y0 = build()
 
@@ -137,6 +257,7 @@ def main():
     # The reference-algorithm baseline compiles for minutes cold; once
     # measured on this chip its time is cached so later (possibly
     # time-boxed) runs still report a true same-hardware ratio.
+    baseline_from_cache = False
     try:
         ref_run = make_runner(vf, ts, coeffs, "reference")
         ref_t = time_runner(ref_run, coeffs, y0)
@@ -146,9 +267,34 @@ def main():
         assert rel_dev < 2e-2, f"native/reference mismatch: {rel_dev}"
         with open(BASELINE_CACHE, "w") as f:
             json.dump({"ref_time_s": ref_t, "device": str(jax.devices()[0])}, f)
-    except Exception:  # noqa: BLE001 - fall back to the cached measurement
+    except Exception as exc:  # noqa: BLE001 - fall back to the cached measurement
+        import sys
+
+        baseline_from_cache = True
+        print(
+            f"WARNING: reference baseline measurement failed ({exc!r}); "
+            f"vs_baseline uses the cached same-chip timing from "
+            f"{BASELINE_CACHE}",
+            file=sys.stderr,
+        )
         with open(BASELINE_CACHE) as f:
             ref_t = json.load(f)["ref_time_s"]
+
+    extras = {"baseline_from_cache": baseline_from_cache}
+    try:
+        steps_per_s, solve_t = solver_steps_per_s(vf, ts, coeffs, y0)
+        extras["solver_steps_per_s"] = steps_per_s
+        extras["adaptive_solve_s"] = solve_t
+    except Exception as exc:  # noqa: BLE001
+        extras["solver_steps_per_s_error"] = repr(exc)
+    try:
+        extras["train_step_s"] = train_step_time(vf, ts, coeffs, y0)
+    except Exception as exc:  # noqa: BLE001
+        extras["train_step_s_error"] = repr(exc)
+    try:
+        extras["scaled_n2048_edges_per_s"] = scaled_n_edges_per_s()
+    except Exception as exc:  # noqa: BLE001
+        extras["scaled_n2048_error"] = repr(exc)
 
     edges = N_NODES * N_NODES * BATCH * LAYERS * EVALS_PER_RUN
     edges_per_s = edges / native_t
@@ -159,6 +305,7 @@ def main():
                 "value": edges_per_s,
                 "unit": "edges/s",
                 "vs_baseline": ref_t / native_t,
+                "extras": extras,
             }
         )
     )

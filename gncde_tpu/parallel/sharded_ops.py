@@ -52,6 +52,17 @@ def sharded_fused_apply(
     p1, p2, p3, p4, p5, p6, p7, p8 = params
     n = A_loc.shape[1]
     n_loc = A_loc.shape[0]
+    # The diagonal extraction below assumes equal row slabs (local rows
+    # idx*n_loc..(idx+1)*n_loc own diagonal columns idx*n_loc+arange(n_loc));
+    # a ragged partition would silently read the wrong columns.
+    num_shards = jax.lax.psum(1, axis_name)
+    if n_loc * num_shards != n:
+        raise ValueError(
+            f"sharded_fused_apply requires n % num_shards == 0: got local "
+            f"slab ({n_loc}, {n}) over {num_shards} shards (n_loc * shards "
+            f"= {n_loc * num_shards} != {n}). Pad the node dimension to a "
+            f"multiple of the graph-axis size."
+        )
     idx = jax.lax.axis_index(axis_name)
 
     # ---- O(n) reductions ---------------------------------------------------

@@ -68,7 +68,16 @@ logging.basicConfig(level=logging.INFO)
 
 def stack_windows(batches: tp.List[tp.Dict]) -> tp.List[tp.Dict]:
     """Group window dicts by array shapes and stack each group along a new
-    leading axis (ready for a vmapped loss)."""
+    leading axis (ready for a vmapped loss).
+
+    Window starts are sampled up to ``num_snapshots - window_size + 1``
+    (data/windows.py:sample_disjoint_window_starts, mirroring reference
+    dataset_configs.py:692-716), so every window has identical shapes and
+    this produces exactly ONE stacked group -- one compiled program per
+    loader. The shape-signature grouping is a safety net for hand-built
+    window lists; if it ever splinters (>1 group => one XLA program per
+    shape), warn loudly instead of silently multiplying compile count.
+    """
     groups: tp.Dict[tp.Tuple, tp.List[tp.Dict]] = {}
     for b in batches:
         sig = tuple(
@@ -92,6 +101,12 @@ def stack_windows(batches: tp.List[tp.Dict]) -> tp.List[tp.Dict]:
                 out[k] = jnp.stack([jnp.asarray(g[k]) for g in group])
         out["_batched"] = len(group)
         stacked.append(out)
+    if len(stacked) > 1:
+        logging.getLogger("gncde").warning(
+            "stack_windows: %d distinct window shapes -> %d compiled programs "
+            "per step fn (expected 1; check the window pipeline for ragged "
+            "shapes)", len(stacked), len(stacked),
+        )
     return stacked
 
 

@@ -62,20 +62,25 @@ def test_tgb_data_encoder_reuses_encoder_key():
         input_dim=4, hidden_dim=4, output_dim=4 * 2 * 2, num_layers=2,
         data_embed_dim=2, num_nodes=6, key=jr.PRNGKey(5),
     )
+    model_key = jr.PRNGKey(6)
     m = TGBGraphNeuralCDE(vf, hidden_dim=4, interpolation="cubic",
-                          key=jr.PRNGKey(6))
-    # Same key => same underlying uniform draw pattern; check first entries
-    # of the weight rows drawn from the identical key stream.
-    w_enc = np.asarray(m.encoder.weight)
-    w_data = np.asarray(m.data_encoder.weight)
-    # Different shapes but same key: the raw uniform stream differs in
-    # shape, so instead assert the keys were reused by checking bias shape
-    # consistency and that encoders were NOT built from independent splits
-    # (data_encoder bias equals a prefix correlation is too brittle); the
-    # load-bearing check is that construction succeeded with the reference
-    # key choreography, covered by shapes:
-    assert w_enc.shape == (4, 6)
-    assert w_data.shape == (2, 6)
+                          key=model_key)
+    # Reference quirk tgb_graph_neural_cde.py:86-90: data_encoder is built
+    # with encoder_key (the FIRST of the model key's 3-way split), not its
+    # own key. Rebuild that Linear independently and demand weight equality.
+    encoder_key, decoder_key, data_encoder_key = jr.split(model_key, 3)
+    expected = Linear(6, vf.data_embed_dim, key=encoder_key)
+    np.testing.assert_array_equal(
+        np.asarray(m.data_encoder.weight), np.asarray(expected.weight)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(m.data_encoder.bias), np.asarray(expected.bias)
+    )
+    # ... and NOT with the split's dedicated third key.
+    not_expected = Linear(6, vf.data_embed_dim, key=data_encoder_key)
+    assert not np.array_equal(
+        np.asarray(m.data_encoder.weight), np.asarray(not_expected.weight)
+    )
 
 
 def test_mlp_depth_zero_single_linear():
