@@ -6,3 +6,9 @@ from .paths import (
     backward_hermite_coefficients,
     fill_nan_linear,
 )
+from .sparse_paths import (
+    SparseMatrixControl,
+    SparseCubicMatrixPath,
+    SparseLinearMatrixPath,
+    union_ell_pattern,
+)

@@ -27,7 +27,13 @@ def make_control(interpolation: str, ts: jax.Array, coeffs, slim: bool = False):
     gncde_tpu.interp.MatrixControl) -- used for adjacency paths whose
     consumers only read the value channel; halves coefficient traffic in the
     solver hot loop.
+
+    A pre-built control (anything exposing ``adj``/``dadj``, e.g.
+    interp.SparseMatrixControl prepared host-side by the trainer's
+    ``sparse_control`` knob) passes through unchanged.
     """
+    if hasattr(coeffs, "adj"):
+        return coeffs
     if slim:
         ctrl = MatrixControl.from_stacked(interpolation, ts, coeffs)
         from .. import ops as ops_config

@@ -77,15 +77,34 @@ def _maybe_time_scale(tgrad, node_features):
     return _time_scale(tgrad, node_features)
 
 
+def _modulate_matrix(mat: jax.Array, mlp: MLP, pairwise_emb: jax.Array) -> jax.Array:
+    """Per-edge MLP modulation: concat([mat_ij, emb_i, emb_j]) -> scalar
+    (reference perm_equiv_dir_graph_vector_field.py:185-199; the undirected
+    variants' enc_idx path is dead code in the reference -- commented-out
+    fields, graph_vector_field.py:21-22,71-77 -- re-enabled here with the
+    same semantics)."""
+    feats = jnp.concatenate([mat[:, :, None], pairwise_emb], axis=-1)
+    out = jax.vmap(jax.vmap(mlp))(feats)
+    return jnp.squeeze(out, axis=-1)
+
+
 class PermEquivGraphVectorField(Module):
     """Undirected permutation-equivariant vf (perm_equiv_graph_vector_field.py).
 
-    Note: the reference's ``enc_idx=True`` branch references commented-out
-    fields and crashes (SURVEY.md section 7.4); here enc_idx is rejected at
-    construction -- use :class:`PermEquivDirGraphVectorField` for enc_idx.
+    ``enc_idx=True`` is a working FIXED mode here: the reference's undirected
+    enc_idx branch references commented-out fields and crashes
+    (perm_equiv_graph_vector_field.py:14-16,69-83 + SURVEY.md section 7.4);
+    this implementation re-enables it with the semantics of those
+    commented-out constructors and of the live Dir variant: a pairwise
+    IdxEncoder embedding and per-edge MLPs modulating A(t) and dA(t). When
+    ``enc_idx=False`` the encoder trio is absent, keeping parameter-count
+    parity with the reference's models.
     """
 
     gnn_layers: list
+    idx_enc: tp.Optional[IdxEncoder]
+    msg_func_adj: tp.Optional[MLP]
+    msg_func_adj_deriv: tp.Optional[MLP]
     data_embed_dim: int = static_field()
     num_nodes: int = static_field()
     enc_idx: bool = static_field()
@@ -104,11 +123,6 @@ class PermEquivGraphVectorField(Module):
         *,
         key: jax.Array,
     ):
-        if enc_idx:
-            raise ValueError(
-                "enc_idx is only supported by PermEquivDirGraphVectorField "
-                "(the reference's undirected enc_idx path is dead code)."
-            )
         self.gnn_layers, key = _make_stack(
             ConvEquivFusionLayer, input_dim, hidden_dim, output_dim, num_layers, key
         )
@@ -116,13 +130,33 @@ class PermEquivGraphVectorField(Module):
         self.num_nodes = num_nodes
         self.enc_idx = enc_idx
 
+        # Reference key choreography: the split happens unconditionally
+        # (perm_equiv_graph_vector_field.py:66) even though the consumers are
+        # commented out, so layer weights are unaffected either way.
+        idx_enc_key, msg_func_adj_key, msg_func_adj_deriv_key = jr.split(key, 3)
+        if enc_idx:
+            self.idx_enc = IdxEncoder(num_nodes, idx_dim, key=idx_enc_key, type=enc_type)
+            self.msg_func_adj = MLP(
+                in_size=2 * idx_dim + 1, out_size=1, width_size=8, depth=2,
+                key=msg_func_adj_key,
+            )
+            self.msg_func_adj_deriv = MLP(
+                in_size=2 * idx_dim + 1, out_size=1, width_size=8, depth=2,
+                key=msg_func_adj_deriv_key,
+            )
+        else:
+            self.idx_enc = None
+            self.msg_func_adj = None
+            self.msg_func_adj_deriv = None
+
     def __call__(self, t, y, args):
         node_features, control_adj = y, args
 
         from ... import ops as ops_config
 
         if (
-            ops_config.get_fusion_backend() == "megakernel"
+            not self.enc_idx
+            and ops_config.get_fusion_backend() == "megakernel"
             and getattr(control_adj, "tgrad_is_unit", False)
             and type(control_adj.path).__name__ == "CubicInterpolation"
         ):
@@ -137,6 +171,12 @@ class PermEquivGraphVectorField(Module):
             # below falls back to the XLA dense path.
 
         adj, adj_derivative, tgrad = control_terms(control_adj, t)
+        if self.enc_idx:
+            pairwise_emb = self.idx_enc()
+            adj = _modulate_matrix(adj, self.msg_func_adj, pairwise_emb)
+            adj_derivative = _modulate_matrix(
+                adj_derivative, self.msg_func_adj_deriv, pairwise_emb
+            )
         out = _run_stack(self.gnn_layers, node_features, adj, adj_derivative)
         return _maybe_time_scale(tgrad, out)
 
@@ -211,9 +251,17 @@ class PermEquivDirGraphVectorField(Module):
 
 
 class GraphVectorField(Module):
-    """Message matrix = A(t) + dA(t) (graph_vector_field.py:95)."""
+    """Message matrix = A(t) + dA(t) (graph_vector_field.py:95).
+
+    ``enc_idx=True`` is a working FIXED mode (dead in the reference:
+    commented-out fields at graph_vector_field.py:21-22,71-77 crash its
+    enc_idx branch): one per-edge MLP modulates the combined message matrix,
+    per the reference's own commented-out constructor shapes.
+    """
 
     gnn_layers: list
+    idx_enc: tp.Optional[IdxEncoder]
+    msg_func: tp.Optional[MLP]
     data_embed_dim: int = static_field()
     num_nodes: int = static_field()
     enc_idx: bool = static_field()
@@ -232,8 +280,6 @@ class GraphVectorField(Module):
         *,
         key: jax.Array,
     ):
-        if enc_idx:
-            raise ValueError("enc_idx unsupported for GraphVectorField (dead in ref)")
         self.gnn_layers, key = _make_stack(
             ConvLayer, input_dim, hidden_dim, output_dim, num_layers, key
         )
@@ -241,10 +287,30 @@ class GraphVectorField(Module):
         self.num_nodes = num_nodes
         self.enc_idx = enc_idx
 
+        # Reference splits these keys unconditionally (graph_vector_field.py:69).
+        idx_enc_key, msg_func_key = jr.split(key, 2)
+        if enc_idx:
+            self.idx_enc = IdxEncoder(num_nodes, idx_dim, key=idx_enc_key, type=enc_type)
+            self.msg_func = MLP(
+                in_size=2 * idx_dim + 1, out_size=1, width_size=8, depth=2,
+                key=msg_func_key,
+            )
+        else:
+            self.idx_enc = None
+            self.msg_func = None
+
     def __call__(self, t, y, args):
         node_features, control_adj = y, args
         adj, dadj, tgrad = control_terms(control_adj, t)
-        message = adj + dadj
+        from ...ops.sparse import ELL
+
+        if isinstance(adj, ELL):
+            message = adj.combine(dadj)  # shared pattern: values add
+        else:
+            message = adj + dadj
+        if self.enc_idx:
+            pairwise_emb = self.idx_enc()
+            message = _modulate_matrix(message, self.msg_func, pairwise_emb)
         out = _run_stack(self.gnn_layers, node_features, message)
         return _maybe_time_scale(tgrad, out)
 

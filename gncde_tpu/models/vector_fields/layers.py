@@ -38,8 +38,12 @@ class ConvLayer(Module):
         node_feats = jax.vmap(self.norm)(node_feats)
         return jax.vmap(self.linear)(node_feats)
 
-    def __call__(self, node_feats: jax.Array, adj_matrix: jax.Array) -> jax.Array:
+    def __call__(self, node_feats: jax.Array, adj_matrix) -> jax.Array:
+        from ...ops import sparse as ops_sparse
+
         m = self.transform(node_feats)
+        if isinstance(adj_matrix, ops_sparse.ELL):
+            return m + ops_sparse.ell_spmm(adj_matrix, m)
         return m + adj_matrix @ m
 
 
@@ -104,13 +108,20 @@ class ConvEquivFusionLayer(Module):
     def __call__(
         self,
         node_feats: jax.Array,
-        adj_matrix: jax.Array,
-        control_gradient: jax.Array,
+        adj_matrix,
+        control_gradient,
     ) -> jax.Array:
         from ... import ops as ops_config
+        from ...ops import sparse as ops_sparse
 
         backend = ops_config.get_fusion_backend()
         m = self.conv_layer.transform(node_feats)
+        if isinstance(adj_matrix, ops_sparse.ELL):
+            # Sparse (scaled-n) path: ELL controls bypass the dense backends
+            # entirely -- O(nnz * H) message passing, no n^2 operator.
+            return ops_sparse.sparse_fused_apply(
+                adj_matrix, control_gradient, m, self.params, add_identity=True
+            )
         # "megakernel" is a vector-field-level backend (fields.py intercepts
         # before the layers); when the control shape doesn't qualify, the
         # layer-level fallback is the fastest XLA path: dense.
@@ -221,13 +232,18 @@ class ConvEquivFusionDirectedLayer(Module):
     def __call__(
         self,
         node_feats: jax.Array,
-        adj_matrix: jax.Array,
-        control_gradient: jax.Array,
+        adj_matrix,
+        control_gradient,
     ) -> jax.Array:
         from ... import ops as ops_config
+        from ...ops import sparse as ops_sparse
 
         backend = ops_config.get_fusion_backend()
         m = self.conv_layer.transform(node_feats)
+        if isinstance(adj_matrix, ops_sparse.ELL):
+            return ops_sparse.sparse_fused_apply_directed(
+                adj_matrix, control_gradient, m, self.params, add_identity=True
+            )
         # No directed megakernel yet: fall back to the fastest XLA path.
         if backend in ("dense", "megakernel"):
             if ops_config.get_fusion_precision() == "bf16":

@@ -19,8 +19,13 @@ Backend selection for the equivariant fusion operator:
   * "decomposed" -- rank-structured 2-matmul path (equiv_basis.fused_apply).
                     The building block for the sparse/edge-partitioned scaled
                     regime where A_bar cannot be materialised.
-  * "sparse"     -- ELL sparse message passing (ops/sparse.py) for scaled-n
-                    graphs; requires a sparse control path (interp.SparseMatrixControl).
+  * (sparse)     -- ELL sparse message passing (ops/sparse.py) is NOT a
+                    backend name: it dispatches by control type. Build an
+                    interp.SparseMatrixControl (dyn trainer knob
+                    ``sparse_control: true``) and every fusion layer routes
+                    to sparse_fused_apply automatically. Memory-feasibility
+                    path for scaled n (PERFORMANCE.md: dense bf16 wins on
+                    speed while its coefficient planes fit HBM).
   * "pipeline"   -- streamed fixed-tile Pallas kernel (ops/pallas/
                     pipeline.py). Measured slower than XLA dense-bf16 on v5e
                     at both n=400 and n=2048 (benchmarks/pipeline_micro.py);

@@ -19,6 +19,10 @@ from .common import apply_overrides
 
 
 def main(argv=None):
+    # Multi-host bootstrap (no-op single-process; env-driven on pods).
+    from ..parallel import multihost
+
+    multihost.initialize()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--config", required=True, help="Path to YAML config")
     parser.add_argument("overrides", nargs="*", help="dotted key=value overrides")

@@ -17,6 +17,10 @@ RECURRENT_MODELS = {"astgcn", "dcrnn", "stid_gcn"}
 
 
 def main(argv=None):
+    # Multi-host bootstrap (no-op single-process; env-driven on pods).
+    from ..parallel import multihost
+
+    multihost.initialize()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--config", required=True)
     parser.add_argument("overrides", nargs="*")

@@ -11,6 +11,10 @@ from .common import apply_overrides
 
 
 def main(argv=None):
+    # Multi-host bootstrap (no-op single-process; env-driven on pods).
+    from ..parallel import multihost
+
+    multihost.initialize()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--config", required=True)
     parser.add_argument("overrides", nargs="*")

@@ -33,14 +33,14 @@ def make_sharded_step(
     rep = replicated(mesh)
 
     def place(model, opt_state, data):
+        """``data`` is this process's local batch slice in the multi-host
+        case (parallel.multihost.process_batch_slice); the full batch when
+        single-process."""
+        from ..parallel import multihost
+
         model = shard_tree(model, rep)
         opt_state = shard_tree(opt_state, rep)
-        data = jax.tree_util.tree_map(
-            lambda x, s: jax.device_put(x, s),
-            data,
-            data_shardings,
-            is_leaf=lambda x: hasattr(x, "shape"),
-        )
+        data = multihost.distribute_batch(data, data_shardings)
         return model, opt_state, data
 
     @jax.jit

@@ -102,6 +102,12 @@ class Trainer(pydantic.BaseModel):
     logger_name: str = "gncde"
     resume: bool = False
     metrics_jsonl: tp.Optional[str] = None
+    # Scaled-n sparse message passing: convert the dense graph-path
+    # coefficients to interp.SparseMatrixControl (ELL) host-side, so the
+    # solver hot loop is O(nnz * H) instead of O(n^2). Exact at any density
+    # (the ELL pattern is the union of nonzero coefficient entries).
+    sparse_control: bool = False
+    sparse_max_degree: tp.Optional[int] = None
 
     model_config = pydantic.ConfigDict(extra="ignore")
 
@@ -153,6 +159,25 @@ class Trainer(pydantic.BaseModel):
         val_data_dict = self.dataset.get_validation_data(val_data_key)
         test_data_dict = self.dataset.get_test_data(test_data_key)
         logger.info("Data loading done")
+
+        if self.sparse_control:
+            from ..interp import SparseMatrixControl
+
+            interpolation = getattr(self.model, "interpolation", "cubic")
+            for dct in (train_data_dict, val_data_dict, test_data_dict):
+                for ckey, tkey in (
+                    ("train_graph_path_coeffs", "train_t"),
+                    ("val_graph_path_coeffs", "t"),
+                    ("test_graph_path_coeffs", "t"),
+                ):
+                    if ckey in dct:
+                        dct[ckey] = SparseMatrixControl.from_stacked(
+                            interpolation,
+                            dct[tkey],
+                            dct[ckey],
+                            max_degree=self.sparse_max_degree,
+                        )
+            logger.info("Sparse ELL control conversion done")
 
         model = self.model.build(model_key)
         optimiser, schedule = self.optimiser.build(optimiser_key)

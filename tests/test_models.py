@@ -175,12 +175,42 @@ class TestDirectedAndEncIdx:
         out = vf(0.5, y, ctrl)
         assert out.shape == (N, H)
 
-    def test_undirected_enc_idx_rejected(self):
-        with pytest.raises(ValueError):
-            PermEquivGraphVectorField(
-                input_dim=H, hidden_dim=H, output_dim=H, num_layers=2,
-                data_embed_dim=1, num_nodes=N, enc_idx=True, key=jr.PRNGKey(1),
-            )
+    def test_undirected_enc_idx_forward(self):
+        """Fixed mode for the reference's dead undirected enc_idx branch
+        (graph_vector_field.py:21-22,71-77): builds and forwards."""
+        ts, coeffs = _adj_coeffs(jr.PRNGKey(0))
+        from gncde_tpu.interp import MatrixControl
+
+        ctrl = MatrixControl.from_stacked("cubic", ts, coeffs)
+        y = jr.normal(jr.PRNGKey(2), (N, H))
+        vf = PermEquivGraphVectorField(
+            input_dim=H, hidden_dim=H, output_dim=H, num_layers=2,
+            data_embed_dim=1, num_nodes=N, enc_idx=True, enc_type="emb",
+            idx_dim=4, key=jr.PRNGKey(1),
+        )
+        out = vf(0.5, y, ctrl)
+        assert out.shape == (N, H)
+        assert np.isfinite(np.asarray(out)).all()
+
+        from gncde_tpu.models.vector_fields import GraphVectorField
+
+        vf2 = GraphVectorField(
+            input_dim=H, hidden_dim=H, output_dim=H, num_layers=2,
+            data_embed_dim=1, num_nodes=N, enc_idx=True, enc_type="emb",
+            idx_dim=4, key=jr.PRNGKey(3),
+        )
+        out2 = vf2(0.5, y, ctrl)
+        assert out2.shape == (N, H)
+        assert np.isfinite(np.asarray(out2)).all()
+
+    def test_enc_idx_false_has_no_encoder_params(self):
+        """Parameter-count parity: without enc_idx the encoder trio is absent
+        (the reference's fields are commented out)."""
+        vf = PermEquivGraphVectorField(
+            input_dim=H, hidden_dim=H, output_dim=H, num_layers=2,
+            data_embed_dim=1, num_nodes=N, enc_idx=False, key=jr.PRNGKey(1),
+        )
+        assert vf.idx_enc is None and vf.msg_func_adj is None
 
 
 def test_kvaerno3_model_solves():
