@@ -90,15 +90,53 @@ class Solution:
 # ---------------------------------------------------------------------------
 
 
+def _implicit_stage(tab: ButcherTableau, vf, ti, pred, h, args, k0):
+    """Solve the ESDIRK stage equation ``k = f(ti, pred + h*gamma*k)``.
+
+    stage_solver="newton": matrix-free Newton-Krylov (diffrax's Kvaerno
+    solvers use Newton too). Each Newton iteration linearises the stage map
+    once (``jax.linearize`` -- one vf eval) and solves
+    ``(I - h*gamma*J) delta = -g`` with a fixed-iteration GMRES whose
+    operator is the JVP: no Jacobian is ever materialised, so the cost is
+    O(newton_iters * krylov_iters) vf-JVPs regardless of state size --
+    the only formulation that scales on TPU (a dense Jacobian over the
+    (n, H) state would be (nH)^2).
+
+    stage_solver="picard": fixed-point iteration; cheaper per step but it
+    requires h*gamma*||J|| < 1, i.e. NOT genuinely stiff.
+    """
+    if tab.stage_solver == "picard":
+        k = k0
+        for _ in range(tab.picard_iters):
+            k = vf(ti, pred + h * tab.a_diag * k, args)
+        return k
+
+    from jax.scipy.sparse.linalg import gmres
+
+    hg = h * tab.a_diag
+    k = k0
+    for _ in range(tab.newton_iters):
+        fval, jvp = jax.linearize(lambda kk: vf(ti, pred + hg * kk, args), k)
+        g = k - fval
+
+        def lin_op(v, jvp=jvp):
+            return v - jvp(v)
+
+        delta, _ = gmres(
+            lin_op,
+            -g,
+            x0=jnp.zeros_like(g),
+            restart=tab.krylov_iters,
+            maxiter=1,
+            solve_method="batched",
+        )
+        k = k + delta
+    return k
+
+
 def _rk_step(tab: ButcherTableau, vf, t, y, h, args, f0):
     """One RK step (explicit or ESDIRK). Returns (y1, err, f1) with FSAL
-    reuse of f0.
-
-    Implicit (ESDIRK) stages solve ``k_i = f(t + c_i h, pred + h*gamma*k_i)``
-    by a fixed count of Picard iterations -- exact for the mildly stiff
-    regimes GNCDE workloads hit; a Newton-based stage solver is the upgrade
-    path for genuinely stiff systems.
-    """
+    reuse of f0. Implicit stages are solved by :func:`_implicit_stage`."""
     ks = []
     for i in range(tab.num_stages):
         if i == 0:
@@ -112,9 +150,8 @@ def _rk_step(tab: ButcherTableau, vf, t, y, h, args, f0):
                 acc = term if acc is None else acc + term
             pred = y if acc is None else y + h * acc
             ti = t + tab.c[i] * h
-            ki = ks[-1]  # warm start from the previous stage
-            for _ in range(tab.picard_iters):
-                ki = vf(ti, pred + h * tab.a_diag * ki, args)
+            # Warm start from the previous stage.
+            ki = _implicit_stage(tab, vf, ti, pred, h, args, ks[-1])
         else:
             acc = None
             for j, aij in enumerate(tab.a[i]):

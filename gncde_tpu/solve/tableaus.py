@@ -35,6 +35,12 @@ class ButcherTableau:
     implicit: bool = False  # ESDIRK: stages i>=1 have diagonal entry a_diag
     a_diag: float = 0.0  # the DIRK gamma
     picard_iters: int = 4  # fixed-point iterations per implicit stage
+    # "newton": matrix-free Newton-Krylov stage solve (solve._rk_step) --
+    # handles genuinely stiff regimes where Picard diverges (requires
+    # h * gamma * ||J|| < 1). "picard": fixed-point iteration, cheaper.
+    stage_solver: str = "newton"
+    newton_iters: int = 2  # Newton iterations per implicit stage
+    krylov_iters: int = 8  # GMRES iterations per Newton iteration
 
     @property
     def num_stages(self) -> int:
@@ -177,6 +183,47 @@ KVAERNO3 = ButcherTableau(
     a_diag=0.435866521508459,
 )
 
+# Kvaerno3 with the cheap fixed-point stage solver (mildly stiff regimes).
+KVAERNO3_PICARD = dataclasses.replace(KVAERNO3, stage_solver="picard")
+
+
+def _build_dopri8() -> ButcherTableau:
+    """Prince-Dormand 8(5,3) ("DOP853") from scipy's published coefficient
+    arrays (scipy.integrate._ivp.dop853_coefficients) -- 12 propagating
+    stages + the FSAL f(t1, y1) evaluation as stage 13, exactly the tableau
+    diffrax's Dopri8 implements. The embedded error uses the order-5 weights
+    (E5); DOP853's 5/3 error blend only changes step-size heuristics, not
+    the order-8 solution."""
+    from scipy.integrate._ivp import dop853_coefficients as dd
+
+    s = dd.N_STAGES  # 12
+    A = np.asarray(dd.A, dtype=np.float64)
+    B = np.asarray(dd.B, dtype=np.float64)
+    C = np.asarray(dd.C, dtype=np.float64)
+    E5 = np.asarray(dd.E5, dtype=np.float64)
+    a_rows = [tuple(A[i, :i]) for i in range(s)]
+    a_rows.append(tuple(B))  # stage 13: k13 = f(t1, y1) (FSAL)
+    return ButcherTableau(
+        name="dopri8",
+        c=tuple(C[:s]) + (1.0,),
+        a=tuple(a_rows),
+        b=tuple(B) + (0.0,),
+        b_err=tuple(E5[: s + 1]),
+        order=8,
+        # The E5 estimator is order 5 (err ~ h^6): 1/6 is the consistent
+        # I-controller exponent for it (scipy's -1/8 pairs with its blended
+        # 5/3 error, which scales differently).
+        error_order=6,
+        fsal=True,
+    )
+
+
+try:  # scipy is baked into this image; keep a fallback for minimal envs.
+    DOPRI8 = _build_dopri8()
+except Exception:  # pragma: no cover
+    DOPRI8 = dataclasses.replace(DOPRI5, name="dopri8(dopri5-fallback)")
+
+
 _TABLEAUS: tp.Dict[str, ButcherTableau] = {
     "tsit5": TSIT5,
     "dopri5": DOPRI5,
@@ -191,11 +238,13 @@ _TABLEAUS: tp.Dict[str, ButcherTableau] = {
     "Heun": HEUN,
     "kvaerno3": KVAERNO3,
     "Kvaerno3": KVAERNO3,
-    # Higher-order implicit variants route to Kvaerno3 for now (no shipped
-    # reference config uses them); Dopri8 routes to Dopri5.
+    "Kvaerno3Picard": KVAERNO3_PICARD,
+    # Kvaerno 4/5 route to the Newton-solved Kvaerno3 (order is lower, the
+    # stage solver is the same class; no shipped reference config uses them).
     "Kvaerno4": KVAERNO3,
     "Kvaerno5": KVAERNO3,
-    "Dopri8": DOPRI5,
+    "dopri8": DOPRI8,
+    "Dopri8": DOPRI8,
 }
 
 

@@ -108,6 +108,10 @@ class Trainer(pydantic.BaseModel):
     # (the ELL pattern is the union of nonzero coefficient entries).
     sparse_control: bool = False
     sparse_max_degree: tp.Optional[int] = None
+    # "bf16" runs message passing in bfloat16 (f32 accumulation + solver
+    # control); see ops.set_fusion_precision and PERFORMANCE.md bf16 study.
+    fusion_precision: tp.Optional[str] = None
+    fusion_backend: tp.Optional[str] = None
 
     model_config = pydantic.ConfigDict(extra="ignore")
 
@@ -131,6 +135,12 @@ class Trainer(pydantic.BaseModel):
     def run_initialisations(self):
         random.seed(self.seed)
         np.random.seed(self.seed)
+        from .. import ops as ops_config
+
+        if self.fusion_precision is not None:
+            ops_config.set_fusion_precision(self.fusion_precision)
+        if self.fusion_backend is not None:
+            ops_config.set_fusion_backend(self.fusion_backend)
 
     def _data_tuple(self, model, d, t_key, coeffs_key, y_key, y0_key):
         if isinstance(model, GraphNeuralODE):

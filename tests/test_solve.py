@@ -133,3 +133,91 @@ def test_max_steps_budget_reports_failure():
         stepsize_controller=PIDController(1e-10, 1e-12), max_steps=8,
     )
     assert not bool(sol.success)
+
+
+def test_dopri8_convergence_order():
+    """Fixed-step Dopri8 on a nonlinear scalar ODE: observed order >= 7
+    validates the scipy-sourced DOP853 tableau (tableaus._build_dopri8)."""
+    # y' = y * cos(t), y(0)=1 -> y(t) = exp(sin(t)); exercises nonlinear
+    # order conditions, not just quadrature. f64: order 8 hits the f32
+    # noise floor at any usable h.
+    jax.config.update("jax_enable_x64", True)
+    try:
+        term = ODETerm(lambda t, y, args: y * jnp.cos(t))
+        t1 = 2.0
+        exact = float(np.exp(np.sin(t1)))
+        errs = []
+        hs = [0.25, 0.125]
+        for h in hs:
+            sol = diffeqsolve(
+                term, "Dopri8", 0.0, t1, h, jnp.ones((1,), jnp.float64),
+                stepsize_controller=ConstantStepSize(),
+                max_steps=int(t1 / h) + 1,
+            )
+            errs.append(abs(float(sol.ys[0]) - exact))
+        order = np.log2(errs[0] / max(errs[1], 1e-18))
+        assert order > 6.5, (errs, order)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_dopri8_adaptive_matches_tsit5():
+    term = ODETerm(lambda t, y, args: -0.7 * y + jnp.sin(3.0 * t))
+    ts = jnp.linspace(0.0, 3.0, 7)
+    kw = dict(saveat=SaveAt(ts=ts), max_steps=512,
+              stepsize_controller=PIDController(1e-7, 1e-9))
+    a = diffeqsolve(term, "Dopri8", 0.0, 3.0, None, jnp.ones((2,)), **kw)
+    b = diffeqsolve(term, "Tsit5", 0.0, 3.0, None, jnp.ones((2,)), **kw)
+    assert bool(a.success) and bool(b.success)
+    np.testing.assert_allclose(np.asarray(a.ys), np.asarray(b.ys), atol=2e-4)
+
+
+def test_kvaerno3_newton_handles_stiff_decay():
+    """lambda = -2000 over h*|lambda| >> 1 territory: Picard diverges unless
+    steps collapse; the Newton-Krylov stage solver (solve._implicit_stage)
+    integrates it accurately."""
+    lam = -2000.0
+    term = ODETerm(lambda t, y, args: lam * (y - jnp.cos(t)) - jnp.sin(t))
+    t1 = 1.0
+    ts = jnp.linspace(0.0, t1, 5)
+    sol = diffeqsolve(
+        term, "Kvaerno3", 0.0, t1, None, jnp.ones((1,)),
+        saveat=SaveAt(ts=ts), max_steps=512,
+        stepsize_controller=PIDController(1e-5, 1e-8),
+    )
+    assert bool(sol.success)
+    # Solution relaxes to cos(t) within a boundary layer.
+    np.testing.assert_allclose(
+        np.asarray(sol.ys[1:, 0]), np.cos(np.asarray(ts[1:])), atol=2e-3
+    )
+    # The stiff regime must not require thousands of micro-steps: Newton
+    # takes it in far fewer than the explicit stability bound h < 2/|lam|
+    # (~1000 steps) would force.
+    assert int(sol.stats["num_accepted_steps"]) < 200
+
+
+def test_kvaerno3_newton_matches_picard_nonstiff():
+    term = ODETerm(lambda t, y, args: -y + jnp.sin(2.0 * t))
+    ts = jnp.linspace(0.0, 2.0, 5)
+    kw = dict(saveat=SaveAt(ts=ts), max_steps=512,
+              stepsize_controller=PIDController(1e-6, 1e-9))
+    a = diffeqsolve(term, "Kvaerno3", 0.0, 2.0, None, jnp.ones((2,)), **kw)
+    b = diffeqsolve(term, "Kvaerno3Picard", 0.0, 2.0, None, jnp.ones((2,)), **kw)
+    np.testing.assert_allclose(np.asarray(a.ys), np.asarray(b.ys), atol=1e-4)
+
+
+def test_kvaerno3_newton_differentiable():
+    lam = -50.0
+
+    def run(scale):
+        term = ODETerm(lambda t, y, args: lam * y * scale)
+        sol = diffeqsolve(
+            term, "Kvaerno3", 0.0, 0.1, 0.01, jnp.ones((1,)),
+            stepsize_controller=ConstantStepSize(), max_steps=16,
+        )
+        return sol.ys[0].sum()
+
+    g = jax.grad(run)(1.0)
+    # d/ds exp(lam*s*t) at s=1 = lam*t*exp(lam*t)
+    expect = lam * 0.1 * np.exp(lam * 0.1)
+    np.testing.assert_allclose(float(g), expect, rtol=5e-2)
