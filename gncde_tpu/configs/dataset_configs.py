@@ -231,7 +231,12 @@ class _WindowedDataSetCfg(pydantic.BaseModel):
 class TGBDataSetCfg(_WindowedDataSetCfg):
     """TGB node-property windows (reference dataset_configs.py:461-903)."""
 
-    name: tp.Literal["tgbn-trade", "tgbn-genre"] = "tgbn-trade"
+    # The ``-synth`` variants are offline surrogates at the real dataset's
+    # scale (tools/fetch_tgb.py synthetic) for pipeline validation and
+    # benchmarking in zero-egress environments; they never shadow real data.
+    name: tp.Literal[
+        "tgbn-trade", "tgbn-genre", "tgbn-trade-synth", "tgbn-genre-synth"
+    ] = "tgbn-trade"
     frequency: tp.Literal["None", "daily", "weekly", "monthly", "yearly"] = "None"
     data_dir: str = "datasets"
     normalise_features: bool = False

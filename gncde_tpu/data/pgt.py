@@ -8,6 +8,7 @@ without a PyG install. Everything is converted to numpy Snapshots.
 
 from __future__ import annotations
 
+import os
 import pickle
 import typing as tp
 from pathlib import Path
@@ -31,22 +32,41 @@ def _to_np(x):
     return np.asarray(x)
 
 
+def _default_search_dirs() -> tp.Tuple[str, ...]:
+    """Search order: $GNCDE_DATA_DIR, cwd, the repo root (vendored copy)."""
+    dirs: tp.List[str] = []
+    env = os.environ.get("GNCDE_DATA_DIR")
+    if env:
+        dirs.append(env)
+    dirs.append(".")
+    # The repo vendors .datasets/england_dataset.pkl two levels above this file.
+    dirs.append(str(Path(__file__).resolve().parents[2]))
+    return tuple(dirs)
+
+
 def load_pgt_snapshots(
-    name: str, search_dirs: tp.Sequence[str] = (".", "/root/reference")
+    name: str, search_dirs: tp.Optional[tp.Sequence[str]] = None
 ) -> tp.List[Snapshot]:
     """Load and densify the pickled snapshot list for a PGT dataset."""
     if name not in DATASET_PATHS:
         raise ValueError(f"Unknown PGT dataset {name!r}")
+    if search_dirs is None:
+        search_dirs = _default_search_dirs()
     rel = DATASET_PATHS[name]
     path = None
     for d in search_dirs:
         cand = Path(d) / rel
-        if cand.exists():
-            path = cand
+        # $GNCDE_DATA_DIR may point directly at a directory of pickles.
+        for c in (cand, Path(d) / Path(rel).name):
+            if c.exists():
+                path = c
+                break
+        if path is not None:
             break
     if path is None:
         raise FileNotFoundError(
-            f"PGT pickle {rel} not found under {list(search_dirs)}"
+            f"PGT pickle {rel} not found under {list(search_dirs)}; "
+            "set $GNCDE_DATA_DIR or place it under .datasets/"
         )
 
     _install_shim()

@@ -46,10 +46,13 @@ class TemporalEdges(tp.NamedTuple):
 def load_tgb_edgelist(name: str, data_dir: str = "datasets") -> TemporalEdges:
     """Load a TGB edge list from disk (no network access)."""
     base = Path(data_dir)
+    underscored = name.replace("-", "_")
     candidates = [
         base / name / f"{name}_edgelist.csv",
-        base / name.replace("-", "_") / f"{name.replace('-', '_')}_edgelist.csv",
+        base / name / f"{underscored}_edgelist.csv",
+        base / underscored / f"{underscored}_edgelist.csv",
         base / f"{name}_edgelist.csv",
+        base / f"{underscored}_edgelist.csv",
     ]
     path = next((c for c in candidates if c.exists()), None)
     if path is None:

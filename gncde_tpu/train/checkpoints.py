@@ -67,6 +67,74 @@ def _arrays_only(tree):
     )
 
 
+class AsyncStateCheckpointer:
+    """Non-blocking full-state checkpointing.
+
+    ``save`` snapshots the state to host memory and returns immediately; the
+    serialisation/commit happens in the background while training continues
+    (orbax ``AsyncCheckpointer`` when available, else a daemon thread around
+    the npz writer). A new save first waits for the previous commit, so at
+    most one background write is in flight and the on-disk checkpoint is
+    always a complete, consistent state. Call ``wait_until_finished`` before
+    reading the checkpoint back (resume does this via ``load_state``).
+
+    The reference has no checkpoint/resume at all (it re-serialises best
+    weights inline, src/engine/trainer.py:68-79); on TPU pods the blocking
+    write would sit inside the step loop, so async is the production default.
+    """
+
+    def __init__(self, directory: str):
+        self._dir = Path(directory)
+        self._thread = None
+        self._ckptr = (
+            ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+            if _HAS_ORBAX
+            else None
+        )
+
+    def save(self, state: TrainState) -> None:
+        self.wait_until_finished()
+        self._dir.mkdir(parents=True, exist_ok=True)
+        # Snapshot to host with real copies BEFORE handing off: the training
+        # loop may donate/overwrite the device buffers (and on the CPU
+        # backend np.asarray can alias them) right after save() returns.
+        snap = lambda t: jax.tree_util.tree_map(  # noqa: E731
+            lambda x: None if x is None else np.array(x), _arrays_only(t)
+        )
+        if self._ckptr is not None:
+            arrays = {"model": snap(state.model), "opt_state": snap(state.opt_state)}
+            self._ckptr.save(
+                (self._dir / "state").absolute(),
+                args=ocp.args.StandardSave(arrays),
+                force=True,
+            )
+        else:
+            import threading
+
+            model = _merge(state.model, snap(state.model))
+            opt = _merge(state.opt_state, snap(state.opt_state))
+
+            def _write():
+                tree_serialise_leaves(str(self._dir / "model.npz"), model)
+                tree_serialise_leaves(str(self._dir / "opt_state.npz"), opt)
+
+            self._thread = threading.Thread(target=_write, daemon=True)
+            self._thread.start()
+        # meta is tiny; write it synchronously, last.
+        np.savez(
+            self._dir / "meta.npz",
+            epoch=state.epoch,
+            best_metric=state.best_metric,
+        )
+
+    def wait_until_finished(self) -> None:
+        if self._ckptr is not None:
+            self._ckptr.wait_until_finished()
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+
+
 def load_state(directory: str, like: TrainState) -> tp.Optional[TrainState]:
     d = Path(directory)
     if not (d / "meta.npz").exists():

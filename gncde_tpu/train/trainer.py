@@ -222,6 +222,13 @@ class Trainer(pydantic.BaseModel):
                 logger.info("Resumed from epoch %d", start_epoch)
 
         patience_counter = 0
+        # Best-state saves run in the background (training continues while
+        # the previous checkpoint commits); see AsyncStateCheckpointer.
+        state_ckptr = (
+            checkpoints.AsyncStateCheckpointer(resume_dir)
+            if self.checkpoint_dir
+            else None
+        )
 
         train_data_i = self._data_tuple(
             model, train_data_dict, "train_t", "train_graph_path_coeffs",
@@ -311,13 +318,12 @@ class Trainer(pydantic.BaseModel):
                     patience_counter = 0
                     best_validation_loss = float(separate_val_loss_total)
                     best_epoch = epoch
-                    if self.checkpoint_dir:
+                    if state_ckptr is not None:
                         path = checkpoints.save_weights(
                             os.path.join(self.checkpoint_dir, f"{config_hash}.npz"),
                             model,
                         )
-                        checkpoints.save_state(
-                            resume_dir,
+                        state_ckptr.save(
                             checkpoints.TrainState(
                                 model, opt_state, epoch, best_validation_loss
                             ),
@@ -344,6 +350,8 @@ class Trainer(pydantic.BaseModel):
                         logger.info("Early stopping")
                         break
 
+        if state_ckptr is not None:
+            state_ckptr.wait_until_finished()
         logger.info(
             "Best validation loss: %s, test loss: %s, L1 test loss: %s, epoch: %s",
             best_validation_loss, corr_test_loss, corr_test_l1_loss, best_epoch,

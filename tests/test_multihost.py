@@ -76,8 +76,7 @@ def _free_port():
     return port
 
 
-def test_two_process_cpu_bootstrap(tmp_path):
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+def _run_workers(tmp_path, repo_root, timeout):
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
     port = _free_port()
@@ -104,12 +103,26 @@ def test_two_process_cpu_bootstrap(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=180)
+            out, _ = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
-            pytest.fail("multi-process worker timed out")
+                q.wait()
+            return None
         outs.append(out)
-    for pid, (p, out) in enumerate(zip(procs, outs)):
+    return list(zip(procs, outs))
+
+
+def test_two_process_cpu_bootstrap(tmp_path):
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # One retry: under a loaded machine the coordinator handshake (fresh JAX
+    # import per worker) can blow the first timeout, and the free-port probe
+    # can race another test's bind.
+    results = _run_workers(tmp_path, repo_root, timeout=300)
+    if results is None:
+        results = _run_workers(tmp_path, repo_root, timeout=600)
+    if results is None:
+        pytest.fail("multi-process worker timed out (after retry)")
+    for pid, (p, out) in enumerate(results):
         assert p.returncode == 0, f"process {pid} failed:\n{out}"
         assert "OK process=" in out, out

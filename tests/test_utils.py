@@ -108,6 +108,30 @@ def test_full_state_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(restored.model.weight, model.weight)
 
 
+def test_async_checkpointer_roundtrip(tmp_path):
+    import optax
+    from gncde_tpu.nn import partition, is_inexact_array
+
+    model = Linear(4, 3, key=jr.PRNGKey(0))
+    opt = optax.adam(1e-3)
+    params, _ = partition(model, is_inexact_array)
+    opt_state = opt.init(params)
+    ckptr = checkpoints.AsyncStateCheckpointer(str(tmp_path / "s"))
+    # Two back-to-back saves: the second must wait out the first's commit and
+    # win (latest state on disk).
+    ckptr.save(checkpoints.TrainState(model, opt_state, 3, 1.0))
+    model2 = Linear(4, 3, key=jr.PRNGKey(5))
+    ckptr.save(checkpoints.TrainState(model2, opt_state, 9, 0.5))
+    ckptr.wait_until_finished()
+    like = checkpoints.TrainState(
+        Linear(4, 3, key=jr.PRNGKey(9)), opt.init(params), 0, float("inf")
+    )
+    restored = checkpoints.load_state(str(tmp_path / "s"), like)
+    assert restored is not None and restored.epoch == 9
+    np.testing.assert_allclose(restored.best_metric, 0.5)
+    np.testing.assert_allclose(restored.model.weight, model2.weight)
+
+
 def test_stack_windows_groups_by_shape():
     import jax.numpy as jnp
     from gncde_tpu.train.windowed import stack_windows
