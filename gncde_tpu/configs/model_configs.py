@@ -34,7 +34,7 @@ class GraphNeuralCDECfg(pydantic.BaseModel):
     hidden_dim: int = 64
     interpolation: _INTERP = "linear"
     use_initial: bool = True
-    method: tp.Literal["Tsit5", "Dopri5", "Dopri8", "Bosh3", "Euler", "Heun", "Kvaerno3", "Kvaerno3Picard", "Kvaerno4", "Kvaerno5"] = "Tsit5"
+    method: tp.Literal["Tsit5", "Dopri5", "Dopri8", "Bosh3", "Euler", "Heun", "Kvaerno3", "Kvaerno3Picard", "KenCarp4", "Kvaerno4", "Kvaerno5"] = "Tsit5"
     return_sequence: bool = True
     max_steps: int = 512
 
@@ -60,7 +60,7 @@ class GraphNeuralODECfg(pydantic.BaseModel):
     hidden_dim: int = 64
     interpolation: _INTERP = "linear"
     use_initial: bool = True
-    method: tp.Literal["Tsit5", "Dopri5", "Dopri8", "Bosh3", "Euler", "Heun", "Kvaerno3", "Kvaerno3Picard", "Kvaerno4", "Kvaerno5"] = "Tsit5"
+    method: tp.Literal["Tsit5", "Dopri5", "Dopri8", "Bosh3", "Euler", "Heun", "Kvaerno3", "Kvaerno3Picard", "KenCarp4", "Kvaerno4", "Kvaerno5"] = "Tsit5"
     return_sequence: bool = True
     max_steps: int = 512
 
@@ -86,7 +86,7 @@ class TGBGraphNeuralCDECfg(pydantic.BaseModel):
     hidden_dim: int = 64
     interpolation: _INTERP = "linear"
     use_initial: bool = True
-    method: tp.Literal["Tsit5", "Dopri5", "Dopri8", "Bosh3", "Euler", "Heun", "Kvaerno3", "Kvaerno3Picard", "Kvaerno4", "Kvaerno5"] = "Tsit5"
+    method: tp.Literal["Tsit5", "Dopri5", "Dopri8", "Bosh3", "Euler", "Heun", "Kvaerno3", "Kvaerno3Picard", "KenCarp4", "Kvaerno4", "Kvaerno5"] = "Tsit5"
     return_sequence: bool = True
     use_mlps: bool = False
     dt0: float = 0.01
@@ -114,7 +114,7 @@ class TGBGraphNeuralODECfg(pydantic.BaseModel):
     hidden_dim: int = 64
     interpolation: _INTERP = "linear"
     use_initial: bool = True
-    method: tp.Literal["Tsit5", "Dopri5", "Dopri8", "Bosh3", "Euler", "Heun", "Kvaerno3", "Kvaerno3Picard", "Kvaerno4", "Kvaerno5"] = "Tsit5"
+    method: tp.Literal["Tsit5", "Dopri5", "Dopri8", "Bosh3", "Euler", "Heun", "Kvaerno3", "Kvaerno3Picard", "KenCarp4", "Kvaerno4", "Kvaerno5"] = "Tsit5"
     return_sequence: bool = True
     use_mlps: bool = False
     max_steps: int = 1024
@@ -143,7 +143,7 @@ class TGBSTGraphNeuralODECfg(pydantic.BaseModel):
     g_func: VectorFieldCfg
     interpolation: _INTERP = "linear"
     use_initial: bool = True
-    method: tp.Literal["Tsit5", "Dopri5", "Dopri8", "Bosh3", "Euler", "Heun", "Kvaerno3", "Kvaerno3Picard", "Kvaerno4", "Kvaerno5"] = "Tsit5"
+    method: tp.Literal["Tsit5", "Dopri5", "Dopri8", "Bosh3", "Euler", "Heun", "Kvaerno3", "Kvaerno3Picard", "KenCarp4", "Kvaerno4", "Kvaerno5"] = "Tsit5"
     return_sequence: bool = True
     use_mlps: bool = False
     max_steps: int = 4096
@@ -175,7 +175,7 @@ class PGTGraphNeuralCDECfg(pydantic.BaseModel):
     feature_dim: int
     interpolation: _INTERP = "linear"
     use_initial: bool = True
-    method: tp.Literal["Tsit5", "Dopri5", "Dopri8", "Bosh3", "Euler", "Heun", "Kvaerno3", "Kvaerno3Picard", "Kvaerno4", "Kvaerno5"] = "Tsit5"
+    method: tp.Literal["Tsit5", "Dopri5", "Dopri8", "Bosh3", "Euler", "Heun", "Kvaerno3", "Kvaerno3Picard", "KenCarp4", "Kvaerno4", "Kvaerno5"] = "Tsit5"
     return_sequence: bool = True
     dt0: float = 0.1
 
@@ -205,7 +205,7 @@ class PGTGraphNeuralODECfg(pydantic.BaseModel):
     feature_dim: int
     interpolation: _INTERP = "linear"
     use_initial: bool = True
-    method: tp.Literal["Tsit5", "Dopri5", "Dopri8", "Bosh3", "Euler", "Heun", "Kvaerno3", "Kvaerno3Picard", "Kvaerno4", "Kvaerno5"] = "Tsit5"
+    method: tp.Literal["Tsit5", "Dopri5", "Dopri8", "Bosh3", "Euler", "Heun", "Kvaerno3", "Kvaerno3Picard", "KenCarp4", "Kvaerno4", "Kvaerno5"] = "Tsit5"
     return_sequence: bool = True
     max_steps: int = 1024
 
@@ -233,7 +233,7 @@ class PGTSTGraphNeuralCDECfg(pydantic.BaseModel):
     g_func: VectorFieldCfg
     interpolation: _INTERP = "linear"
     use_initial: bool = True
-    method: tp.Literal["Tsit5", "Dopri5", "Dopri8", "Bosh3", "Euler", "Heun", "Kvaerno3", "Kvaerno3Picard", "Kvaerno4", "Kvaerno5"] = "Tsit5"
+    method: tp.Literal["Tsit5", "Dopri5", "Dopri8", "Bosh3", "Euler", "Heun", "Kvaerno3", "Kvaerno3Picard", "KenCarp4", "Kvaerno4", "Kvaerno5"] = "Tsit5"
     return_sequence: bool = True
     data_dim: int
     feature_dim: int

@@ -186,6 +186,43 @@ KVAERNO3 = ButcherTableau(
 # Kvaerno3 with the cheap fixed-point stage solver (mildly stiff regimes).
 KVAERNO3_PICARD = dataclasses.replace(KVAERNO3, stage_solver="picard")
 
+# Kennedy & Carpenter (2003) ARK4(3)6L[2]SA, implicit (ESDIRK) part:
+# 6 stages, explicit first stage, gamma=1/4, stiffly accurate, L-stable,
+# order 4 with an order-3 embedded estimate. All coefficients are exact
+# rationals; tests/test_solve.py verifies every order condition through
+# order 4 plus L-stability, so a transcription error cannot pass silently.
+KENCARP4 = ButcherTableau(
+    name="kencarp4",
+    c=(0.0, 1 / 2, 83 / 250, 31 / 50, 17 / 20, 1.0),
+    a=(
+        (),
+        (1 / 4,),
+        (8611 / 62500, -1743 / 31250),
+        (5012029 / 34652500, -654441 / 2922500, 174375 / 388108),
+        (
+            15267082809 / 155376265600,
+            -71443401 / 120774400,
+            730878875 / 902184768,
+            2285395 / 8070912,
+        ),
+        (82889 / 524892, 0.0, 15625 / 83664, 69875 / 102672, -2260 / 8211),
+    ),
+    b=(82889 / 524892, 0.0, 15625 / 83664, 69875 / 102672, -2260 / 8211, 1 / 4),
+    b_err=(
+        82889 / 524892 - 4586570599 / 29645900160,
+        0.0,
+        15625 / 83664 - 178811875 / 945068544,
+        69875 / 102672 - 814220225 / 1159782912,
+        -2260 / 8211 + 3700637 / 11593932,
+        1 / 4 - 61727 / 225920,
+    ),
+    order=4,
+    error_order=4,
+    fsal=True,
+    implicit=True,
+    a_diag=1 / 4,
+)
+
 
 def _build_dopri8() -> ButcherTableau:
     """Prince-Dormand 8(5,3) ("DOP853") from scipy's published coefficient
@@ -239,10 +276,13 @@ _TABLEAUS: tp.Dict[str, ButcherTableau] = {
     "kvaerno3": KVAERNO3,
     "Kvaerno3": KVAERNO3,
     "Kvaerno3Picard": KVAERNO3_PICARD,
-    # Kvaerno 4/5 route to the Newton-solved Kvaerno3 (order is lower, the
-    # stage solver is the same class; no shipped reference config uses them).
-    "Kvaerno4": KVAERNO3,
-    "Kvaerno5": KVAERNO3,
+    "kencarp4": KENCARP4,
+    "KenCarp4": KENCARP4,
+    # Kvaerno 4/5 route to the order-4 L-stable ESDIRK (KenCarp4): same
+    # method class (Newton-solved ESDIRK), same order as Kvaerno4; Kvaerno5
+    # is served at order 4 (no shipped reference config uses either).
+    "Kvaerno4": KENCARP4,
+    "Kvaerno5": KENCARP4,
     "dopri8": DOPRI8,
     "Dopri8": DOPRI8,
 }

@@ -221,3 +221,99 @@ def test_kvaerno3_newton_differentiable():
     # d/ds exp(lam*s*t) at s=1 = lam*t*exp(lam*t)
     expect = lam * 0.1 * np.exp(lam * 0.1)
     np.testing.assert_allclose(float(g), expect, rtol=5e-2)
+
+
+def _full_A(tab):
+    """Dense stage matrix including the ESDIRK diagonal."""
+    s = tab.num_stages
+    A = np.zeros((s, s))
+    for i in range(s):
+        A[i, : len(tab.a[i])] = tab.a[i]
+        if tab.implicit and i >= 1:
+            A[i, i] = tab.a_diag
+    return A
+
+
+def test_kencarp4_order_conditions():
+    """Every Butcher order condition through order 4 for the propagating
+    weights, order 3 for the embedded weights, plus row-sum consistency and
+    L-stability -- a transcription error in any KENCARP4 coefficient fails
+    here."""
+    from gncde_tpu.solve.tableaus import KENCARP4 as tab
+
+    A = _full_A(tab)
+    b = np.asarray(tab.b)
+    c = np.asarray(tab.c)
+    np.testing.assert_allclose(A.sum(1), c, atol=1e-14)  # stage consistency
+    one = np.ones_like(c)
+    # Order 1..4 conditions (Hairer-Norsett-Wanner II, table 3.1).
+    np.testing.assert_allclose(b @ one, 1.0, atol=1e-14)
+    np.testing.assert_allclose(b @ c, 1 / 2, atol=1e-14)
+    np.testing.assert_allclose(b @ c**2, 1 / 3, atol=1e-14)
+    np.testing.assert_allclose(b @ (A @ c), 1 / 6, atol=1e-14)
+    np.testing.assert_allclose(b @ c**3, 1 / 4, atol=1e-14)
+    np.testing.assert_allclose(b @ (c * (A @ c)), 1 / 8, atol=1e-14)
+    np.testing.assert_allclose(b @ (A @ c**2), 1 / 12, atol=1e-14)
+    np.testing.assert_allclose(b @ (A @ (A @ c)), 1 / 24, atol=1e-14)
+    # Stiffly accurate: last row of A equals b.
+    np.testing.assert_allclose(A[-1], b, atol=1e-14)
+    # Embedded order 3.
+    bh = b - np.asarray(tab.b_err)
+    np.testing.assert_allclose(bh @ one, 1.0, atol=1e-12)
+    np.testing.assert_allclose(bh @ c, 1 / 2, atol=1e-12)
+    np.testing.assert_allclose(bh @ c**2, 1 / 3, atol=1e-12)
+    np.testing.assert_allclose(bh @ (A @ c), 1 / 6, atol=1e-12)
+    # ...and not order 4 (otherwise the error estimate would be useless).
+    assert abs(bh @ c**3 - 1 / 4) > 1e-6
+    # L-stability: R(z) = 1 + z b (I - zA)^-1 1 -> 0 as z -> -inf.
+    for z in (-1e3, -1e6, -1e9):
+        R = 1 + z * b @ np.linalg.solve(np.eye(len(c)) - z * A, one)
+        assert abs(R) < 10 / abs(z), (z, R)
+
+
+def test_kencarp4_convergence_order():
+    """Fixed-step observed order ~4 on a smooth nonlinear problem (f64).
+    (On strongly stiff problems ESDIRK methods of stage order 2 show the
+    classical order reduction to ~3; design order is measured nonstiff.)"""
+    jax.config.update("jax_enable_x64", True)
+    try:
+        term = ODETerm(lambda t, y, args: y * jnp.cos(t))
+        t1 = 2.0
+        exact = float(np.exp(np.sin(t1)))
+        errs = []
+        for h in (0.1, 0.05):
+            sol = diffeqsolve(
+                term, "KenCarp4", 0.0, t1, h, jnp.ones((1,), jnp.float64),
+                stepsize_controller=ConstantStepSize(),
+                max_steps=int(t1 / h) + 1,
+            )
+            errs.append(abs(float(sol.ys[0]) - exact))
+        order = np.log2(errs[0] / max(errs[1], 1e-18))
+        assert order > 3.6, (errs, order)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_kencarp4_stiff_decay_accuracy():
+    """Adaptive KenCarp4 on the lam=-2000 relaxation problem: accurate in
+    few steps (L-stability + Newton stages doing their job)."""
+    lam = -2000.0
+    term = ODETerm(lambda t, y, args: lam * (y - jnp.cos(t)) - jnp.sin(t))
+    ts = jnp.linspace(0.0, 1.0, 5)
+    sol = diffeqsolve(
+        term, "KenCarp4", 0.0, 1.0, None, jnp.ones((1,)),
+        saveat=SaveAt(ts=ts), max_steps=512,
+        stepsize_controller=PIDController(1e-5, 1e-8),
+    )
+    assert bool(sol.success)
+    np.testing.assert_allclose(
+        np.asarray(sol.ys[1:, 0]), np.cos(np.asarray(ts[1:])), atol=2e-3
+    )
+    assert int(sol.stats["num_accepted_steps"]) < 200
+
+
+def test_kvaerno5_alias_resolves_to_order4():
+    from gncde_tpu.solve.tableaus import get_tableau
+
+    assert get_tableau("Kvaerno4").order == 4
+    assert get_tableau("Kvaerno5").order == 4
