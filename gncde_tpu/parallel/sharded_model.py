@@ -22,7 +22,10 @@ import typing as tp
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.8
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 from ..interp import CubicInterpolation, LinearInterpolation
 from ..solve import ODETerm, SaveAt, PIDController, diffeqsolve
@@ -79,6 +82,6 @@ def make_sharded_gncde_solve(
         mesh=mesh,
         in_specs=(P(None), coeff_specs, P(axis_name, None)),
         out_specs=P(None, axis_name, None),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)

@@ -141,7 +141,10 @@ def make_sharded_vf_eval(mesh: Mesh, vf, axis_name: str = "graph"):
     Returns f(Z, A, dA) operating on FULL arrays carried with node-sharded
     layouts; shard_map provides each device its slab.
     """
-    from jax.experimental.shard_map import shard_map
+    try:  # jax >= 0.8
+        from jax import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
 
     spec_mat = P(axis_name, None)
     spec_feat = P(axis_name, None)
@@ -154,6 +157,6 @@ def make_sharded_vf_eval(mesh: Mesh, vf, axis_name: str = "graph"):
         mesh=mesh,
         in_specs=(spec_feat, spec_mat, spec_mat),
         out_specs=spec_feat,
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
