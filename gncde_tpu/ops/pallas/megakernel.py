@@ -65,17 +65,17 @@ def _make_kernel(n: int, dims: tp.List[tp.Tuple[int, int]], bf16: bool):
     L = len(dims)
     mm_dtype = jnp.bfloat16 if bf16 else jnp.float32
 
-    def kernel(idx_ref, tau_ref, d_ref, c_ref, b_ref, a_ref, z_ref, *rest):
+    def kernel(tau_ref, d_ref, c_ref, b_ref, a_ref, z_ref, *rest):
         layer_refs = rest[: 5 * L]
         out_ref = rest[5 * L]
         tau = tau_ref[0, 0]
 
         # Coefficient planes may be stored bf16 (half the HBM traffic -- the
         # kernel's only O(n^2) reads); Hermite evaluation runs in f32.
-        d = d_ref[0].astype(jnp.float32)
-        c = c_ref[0].astype(jnp.float32)
-        b = b_ref[0].astype(jnp.float32)
-        a = a_ref[0].astype(jnp.float32)
+        d = d_ref[:].astype(jnp.float32)
+        c = c_ref[:].astype(jnp.float32)
+        b = b_ref[:].astype(jnp.float32)
+        a = a_ref[:].astype(jnp.float32)
         A = ((d * tau + c) * tau + b) * tau + a  # (n, n), VMEM value
         dA = (3.0 * d * tau + 2.0 * c) * tau + b
 
@@ -170,20 +170,29 @@ def _forward(coeffs, idx, tau, Z, layer_arrays, n, dims, bf16):
     H_out = dims[-1][1]
     kernel = _make_kernel(n, dims, bf16)
 
-    # With num_scalar_prefetch=1, block index_maps receive (*grid_ids,
-    # scalar_ref): select the active coefficient interval via the prefetched
-    # index so only that (n, n) slice is DMA'd from HBM.
-    coeff_spec = pl.BlockSpec(
-        (1, n, n), lambda g, idx_ref: (idx_ref[0], 0, 0), memory_space=pltpu.VMEM
-    )
+    # Slice the active (n, n) interval plane of each coefficient stack with
+    # plain XLA dynamic-slices OUTSIDE the kernel. An earlier revision used
+    # scalar-prefetch index_maps to do this inside the kernel's DMA, but
+    # pallas_call with scalar prefetch has no efficient vmap rule: under the
+    # loss-level vmap JAX unrolled the batch and materialised each element's
+    # FULL (T-1, n, n) stack per vf eval (~50 MB x4 planes x7 stages per
+    # solver step -- a measured 13x training slowdown). Four ~640 KB
+    # dynamic-slices are noise by comparison, and the plain pallas_call
+    # vmaps by prepending a grid dimension.
+    slices = [
+        jax.lax.dynamic_index_in_dim(p, idx, axis=0, keepdims=False)
+        for p in (d, c, b, a)
+    ]
+
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # tau (1, 1)
-        coeff_spec, coeff_spec, coeff_spec, coeff_spec,  # d, c, b, a
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # d slice (n, n)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # c
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # b
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # a
         pl.BlockSpec(memory_space=pltpu.VMEM),  # Z
     ]
-    operands = [
-        tau.reshape(1, 1).astype(jnp.float32), d, c, b, a, Z,
-    ]
+    operands = [tau.reshape(1, 1).astype(jnp.float32), *slices, Z]
     for la in layer_arrays:
         for key in ("norm_w", "norm_b", "W", "lin_b", "basis"):
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
@@ -191,14 +200,10 @@ def _forward(coeffs, idx, tau, Z, layer_arrays, n, dims, bf16):
 
     return pl.pallas_call(
         kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(1,),
-            in_specs=in_specs,
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        ),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, H_out), jnp.float32),
-    )(idx.reshape(1).astype(jnp.int32), *operands)
+    )(*operands)
 
 
 def _xla_reference(coeffs, idx, tau, Z, vf):
@@ -244,22 +249,65 @@ def megakernel_vf_eval(coeffs, ts, t, Z, vf):
     return _forward(coeffs, idx, tau, Z, layer_arrays, n, dims, bf16)
 
 
+def _unwrap(tree):
+    """Strip CustomVJPPrimal wrappers (symbolic_zeros=True fwd signature)."""
+    return jax.tree_util.tree_map(lambda leaf: leaf.value, tree)
+
+
+def _perturbed(tree) -> bool:
+    return any(
+        leaf.perturbed for leaf in jax.tree_util.tree_leaves(tree)
+    )
+
+
 def _mk_fwd(coeffs, ts, t, Z, vf):
-    out = megakernel_vf_eval(coeffs, ts, t, Z, vf)
-    return out, (coeffs, ts, t, Z, vf)
+    # symbolic_zeros=True: every array leaf arrives as a CustomVJPPrimal
+    # carrying (value, perturbed). The perturbed bits are STATIC, so the
+    # backward trace below can skip whole cotangent computations. This
+    # matters enormously for `coeffs`: the adjacency coefficient planes are
+    # (T-1, n, n) x 4 DATA (hundreds of MB at the flagship workload) and are
+    # never differentiated in any trainer -- but without the static flag the
+    # backward would materialise a full zeros+scatter cotangent for them on
+    # EVERY vf eval (measured 8-13x training slowdown at T=119, n=400; see
+    # benchmarks/grad_micro.py).
+    needs = (
+        _perturbed(coeffs), _perturbed(t), _perturbed(Z), _perturbed(vf),
+    )
+    coeffs_v, ts_v, t_v, Z_v, vf_v = (
+        _unwrap(coeffs), _unwrap(ts), _unwrap(t), _unwrap(Z), _unwrap(vf),
+    )
+    out = megakernel_vf_eval(coeffs_v, ts_v, t_v, Z_v, vf_v)
+    return out, (coeffs_v, ts_v, t_v, Z_v, vf_v, needs)
 
 
 def _mk_bwd(res, g):
-    coeffs, ts, t, Z, vf = res
+    coeffs, ts, t, Z, vf, (need_coeffs, need_t, need_Z, need_vf) = res
+    if isinstance(g, jax.custom_derivatives.SymbolicZero):
+        return None, None, None, None, None
     idx, _ = _interval(ts, t)
 
-    def f(coeffs, t_, Z_, vf_):
-        tau_ = t_ - ts[idx]
-        return _xla_reference(coeffs, idx, tau_, Z_, vf_)
+    if need_coeffs:
+        def f(coeffs_, t_, Z_, vf_):
+            tau_ = t_ - ts[idx]
+            return _xla_reference(coeffs_, idx, tau_, Z_, vf_)
 
-    _, vjp = jax.vjp(f, coeffs, t, Z, vf)
-    d_coeffs, d_t, d_Z, d_vf = vjp(g)
-    return d_coeffs, jnp.zeros_like(ts), d_t, d_Z, d_vf
+        _, vjp = jax.vjp(f, coeffs, t, Z, vf)
+        d_coeffs, d_t, d_Z, d_vf = vjp(g)
+    else:
+        def f(t_, Z_, vf_):
+            tau_ = t_ - ts[idx]
+            return _xla_reference(coeffs, idx, tau_, Z_, vf_)
+
+        _, vjp = jax.vjp(f, t, Z, vf)
+        d_t, d_Z, d_vf = vjp(g)
+        d_coeffs = None
+    return (
+        d_coeffs,
+        None,  # ts: knot grid, never differentiated
+        d_t if need_t else None,
+        d_Z if need_Z else None,
+        d_vf if need_vf else None,
+    )
 
 
-megakernel_vf_eval.defvjp(_mk_fwd, _mk_bwd)
+megakernel_vf_eval.defvjp(_mk_fwd, _mk_bwd, symbolic_zeros=True)

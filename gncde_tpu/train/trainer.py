@@ -188,6 +188,28 @@ class Trainer(pydantic.BaseModel):
                             max_degree=self.sparse_max_degree,
                         )
             logger.info("Sparse ELL control conversion done")
+        else:
+            # Build the slim control (time-channel strip + optional bf16
+            # coefficient planes) HERE, eagerly, not inside the jitted step.
+            # Inside the step the channel slice is a producer XLA cannot fuse
+            # into a pallas_call operand, so under the checkpointed-adjoint
+            # remat the full (T-1, n, n) planes get re-materialised over and
+            # over (measured 13x train-step blowup on the flagship dyn
+            # config with the megakernel backend: 17.7 s vs 1.35 s per step).
+            from ..models.continuous import make_control
+
+            interpolation = getattr(self.model, "interpolation", "cubic")
+            for dct in (train_data_dict, val_data_dict, test_data_dict):
+                for ckey, tkey in (
+                    ("train_graph_path_coeffs", "train_t"),
+                    ("val_graph_path_coeffs", "t"),
+                    ("test_graph_path_coeffs", "t"),
+                ):
+                    if ckey in dct and not hasattr(dct[ckey], "adj"):
+                        dct[ckey] = make_control(
+                            interpolation, dct[tkey], dct[ckey], slim=True
+                        )
+            logger.info("Slim control conversion done")
 
         model = self.model.build(model_key)
         optimiser, schedule = self.optimiser.build(optimiser_key)
