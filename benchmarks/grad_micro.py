@@ -99,9 +99,3 @@ def main():
 
 if __name__ == "__main__":
     main()
-
-
-def vmap_variant():
-    """Appendix probe: vmap over a batch axis (the real trainer's layout)."""
-    import argparse
-    # reuse main()'s defaults at B=4

@@ -237,6 +237,23 @@ class PermEquivDirGraphVectorField(Module):
 
     def __call__(self, t, y, args):
         node_features, control_adj = y, args
+
+        from ... import ops as ops_config
+
+        if (
+            not self.enc_idx
+            and ops_config.get_fusion_backend() == "megakernel"
+            and getattr(control_adj, "tgrad_is_unit", False)
+            and type(control_adj.path).__name__ == "CubicInterpolation"
+        ):
+            from ...ops.pallas.megakernel import MEGAKERNEL_MAX_N, megakernel_vf_eval
+
+            if node_features.shape[0] <= MEGAKERNEL_MAX_N:
+                path = control_adj.path
+                return megakernel_vf_eval(
+                    tuple(path.coeffs), path.ts, t, node_features, self
+                )
+
         adj, adj_derivative, tgrad = control_terms(control_adj, t)
 
         if self.enc_idx:

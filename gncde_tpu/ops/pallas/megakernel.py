@@ -60,8 +60,18 @@ def _layer_param_arrays(vf):
     return out
 
 
-def _make_kernel(n: int, dims: tp.List[tp.Tuple[int, int]], bf16: bool):
-    """dims: [(Hin, Hout)] per layer; bf16 selects MXU operand precision."""
+def _make_kernel(
+    n: int, dims: tp.List[tp.Tuple[int, int]], bf16: bool, directed: bool = False
+):
+    """dims: [(Hin, Hout)] per layer; bf16 selects MXU operand precision.
+
+    ``directed`` switches to the 11-term directed basis
+    (equiv_basis.fusion_matrix_dense_directed, reference layers.py:256-345):
+    same rank structure as the undirected 8-term basis -- B1 row part, B2^T
+    column part, diagonal vector, rank-1 outer products -- with column sums
+    (cA, cdA) joining the row sums in the diagonal/rank-1 compositions. The
+    column sums come from axis-1 reductions of the already-transposed
+    At/dAt, so the directed path adds no relayouts."""
     L = len(dims)
     mm_dtype = jnp.bfloat16 if bf16 else jnp.float32
 
@@ -98,6 +108,10 @@ def _make_kernel(n: int, dims: tp.List[tp.Tuple[int, int]], bf16: bool):
         eye = rows == cols
         diagA = jnp.sum(jnp.where(eye, A, 0.0), axis=1, keepdims=True)
         diagdA = jnp.sum(jnp.where(eye, dA, 0.0), axis=1, keepdims=True)
+        if directed:
+            # Column sums as (n, 1): row sums of the transposes.
+            cA = jnp.sum(At.astype(jnp.float32), axis=1, keepdims=True)
+            cdA = jnp.sum(dAt.astype(jnp.float32), axis=1, keepdims=True)
 
         feats = z_ref[:]
         for l in range(L):
@@ -120,14 +134,20 @@ def _make_kernel(n: int, dims: tp.List[tp.Tuple[int, int]], bf16: bool):
                 + lin_b
             )  # (n, Hout)
 
-            p1 = p[0]
-            p2 = p[1]
-            p3 = p[2]
-            p4 = p[3]
-            p5 = p[4]
-            p6 = p[5]
-            p7 = p[6]
-            p8 = p[7]
+            if directed:
+                # (11, 2) stack: [p1, p2, p3, p4, p4', p5, p5', p6, p6', p7, p8]
+                p1, p2, p3 = p[0], p[1], p[2]
+                p4, p4p, p5, p5p = p[3], p[4], p[5], p[6]
+                p6, p6p, p7, p8 = p[7], p[8], p[9], p[10]
+            else:
+                p1 = p[0]
+                p2 = p[1]
+                p3 = p[2]
+                p4 = p[3]
+                p5 = p[4]
+                p6 = p[5]
+                p7 = p[6]
+                p8 = p[7]
 
             # In bf16 precision mode the MXU operands are bfloat16 with f32
             # accumulation: the v5e MXU is native-bf16 (f32 matmuls are
@@ -143,15 +163,33 @@ def _make_kernel(n: int, dims: tp.List[tp.Tuple[int, int]], bf16: bool):
             Mh = M.astype(mm_dtype)
             rowpart = jnp.dot(B1, Mh, preferred_element_type=jnp.float32)
             colpart = jnp.dot(B2t, Mh, preferred_element_type=jnp.float32)
-            dvec = (
-                p3[0] * diagA
-                + p3[1] * diagdA
-                + (p6[0] * rA + p6[1] * rdA) / n
-                + (p8[0] * sA + p8[1] * sdA) / n**2
-                + 1.0  # folded residual identity
-            )  # (n, 1)
-            u = (p4[0] * rA + p4[1] * rdA) / n  # (n, 1)
-            v = (p5[0] * rA + p5[1] * rdA) / n  # (n, 1)
+            if directed:
+                # layers.py:256-345 semantics incl. the term_4' row/col mix
+                # and term_7 sum(A)-for-both quirks (equiv_basis.py:82-97).
+                dvec = (
+                    p3[0] * diagA
+                    + p3[1] * diagdA
+                    + (p6[0] * cA + p6[1] * cdA) / n
+                    + (p6p[0] * rA + p6p[1] * rdA) / n
+                    + (p8[0] * sA + p8[1] * sdA) / n**2
+                    + 1.0  # folded residual identity
+                )  # (n, 1)
+                u = (p4[0] * cA + p4[1] * cdA) / n  # (n, 1)
+                v = (
+                    p4p[0] * rA + p4p[1] * cdA
+                    + p5[0] * cA + p5[1] * cdA
+                    + p5p[0] * rA + p5p[1] * rdA
+                ) / n  # (n, 1)
+            else:
+                dvec = (
+                    p3[0] * diagA
+                    + p3[1] * diagdA
+                    + (p6[0] * rA + p6[1] * rdA) / n
+                    + (p8[0] * sA + p8[1] * sdA) / n**2
+                    + 1.0  # folded residual identity
+                )  # (n, 1)
+                u = (p4[0] * rA + p4[1] * rdA) / n  # (n, 1)
+                v = (p5[0] * rA + p5[1] * rdA) / n  # (n, 1)
             c7 = (p7[0] + p7[1]) * sA / n**2
             s = jnp.sum(M, axis=0, keepdims=True)  # (1, H)
             w = jnp.sum(v * M, axis=0, keepdims=True)  # (1, H)
@@ -164,11 +202,11 @@ def _make_kernel(n: int, dims: tp.List[tp.Tuple[int, int]], bf16: bool):
     return kernel
 
 
-def _forward(coeffs, idx, tau, Z, layer_arrays, n, dims, bf16):
+def _forward(coeffs, idx, tau, Z, layer_arrays, n, dims, bf16, directed=False):
     d, c, b, a = coeffs
     L = len(dims)
     H_out = dims[-1][1]
-    kernel = _make_kernel(n, dims, bf16)
+    kernel = _make_kernel(n, dims, bf16, directed)
 
     # Slice the active (n, n) interval plane of each coefficient stack with
     # plain XLA dynamic-slices OUTSIDE the kernel. An earlier revision used
@@ -246,7 +284,8 @@ def megakernel_vf_eval(coeffs, ts, t, Z, vf):
     idx, tau = _interval(ts, t)
     layer_arrays = _layer_param_arrays(vf)
     bf16 = ops_config.get_fusion_precision() == "bf16"
-    return _forward(coeffs, idx, tau, Z, layer_arrays, n, dims, bf16)
+    directed = type(vf.gnn_layers[0]).__name__ == "ConvEquivFusionDirectedLayer"
+    return _forward(coeffs, idx, tau, Z, layer_arrays, n, dims, bf16, directed)
 
 
 def _unwrap(tree):

@@ -60,3 +60,52 @@ def test_megakernel_gradients_match():
         if a is None:
             continue
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3)
+
+
+def _setup_dir(n=24, T=6, H=8, L=2):
+    from gncde_tpu.models.vector_fields import PermEquivDirGraphVectorField
+
+    ts = jnp.linspace(0.0, 1.0, T)
+    # Directed: non-symmetric path.
+    A_path = jr.uniform(jr.PRNGKey(3), (T, n, n)) * 0.1
+    coeffs = backward_hermite_coefficients(ts, A_path)
+    vf = PermEquivDirGraphVectorField(
+        input_dim=H, hidden_dim=H, output_dim=H, num_layers=L,
+        data_embed_dim=1, num_nodes=n, key=jr.PRNGKey(4),
+    )
+    Z = jr.normal(jr.PRNGKey(5), (n, H))
+    ctrl = MatrixControl(CubicInterpolation(ts, coeffs))
+    return vf, ctrl, Z
+
+
+def test_directed_megakernel_matches_dense_backend():
+    vf, ctrl, Z = _setup_dir()
+    ref = vf(0.37, Z, ctrl)
+    ops_cfg.set_fusion_backend("megakernel")
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            got = vf(0.37, Z, ctrl)
+    finally:
+        ops_cfg.set_fusion_backend("dense")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_directed_megakernel_gradients_match():
+    vf, ctrl, Z = _setup_dir()
+
+    def loss(v):
+        return jnp.sum(v(0.37, Z, ctrl) ** 2)
+
+    _, ref_grads = filter_value_and_grad(loss)(vf)
+    ops_cfg.set_fusion_backend("megakernel")
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            _, got_grads = filter_value_and_grad(loss)(vf)
+    finally:
+        ops_cfg.set_fusion_backend("dense")
+    for a, b in zip(
+        jax.tree_util.tree_leaves(got_grads), jax.tree_util.tree_leaves(ref_grads)
+    ):
+        if a is None:
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3)
