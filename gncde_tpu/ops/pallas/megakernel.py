@@ -6,23 +6,29 @@ where the information content is the ~2.5 MB of interval coefficients). This
 kernel evaluates the ENTIRE undirected perm-equiv vector field in one
 pallas_call with everything VMEM-resident:
 
-    read d,c,b,a interval slices (scalar-prefetch indexed)  -- 4 n^2 reads
+    read d,c,b,a interval slices (XLA dynamic-slice outside) -- 4 n^2 reads
       -> A(t), dA(t) as VMEM values (never hit HBM)
-      -> shared reductions (row sums, diag, totals)
+      -> shared reductions (row/col sums, diag, totals)
       -> L x [RMSNorm -> Linear -> rank-structured fused matvec]
-    write out (n, H)                                        -- tiny
+    write out (n, H)                                         -- tiny
 
-Constraints: single-core whole-VMEM kernel; VMEM footprint is roughly
-``n^2 * (4 coeff planes + A/dA f32 + 4 matmul-operand copies)`` which caps
-``n`` at :data:`MEGAKERNEL_MAX_N` (larger graphs fall back to the XLA dense
-path in the vector-field dispatch). Backward runs through the XLA path via
-custom_vjp (the kernel accelerates the forward half; inference fully).
+Serves BOTH the undirected 8-term and directed 11-term bases (see
+_make_kernel). Constraints: single-core whole-VMEM kernel; VMEM footprint
+is roughly ``n^2 * (4 coeff planes + A/dA f32 + 4 matmul-operand copies)``
+which caps ``n`` at :data:`MEGAKERNEL_MAX_N` (larger graphs fall back to
+the XLA dense path in the vector-field dispatch). Backward runs through the
+XLA path via custom_vjp with ``symbolic_zeros=True`` so cotangents for
+unperturbed inputs (the coefficient planes are data in every trainer) are
+statically skipped.
 
-STATUS: production TPU path since round 2. The round-1 Mosaic compile-time
-blocker (>15 min at n>=400) no longer reproduces with the current toolchain:
-compile is ~3 s at n=400 and steady-state is 2.7x faster than the XLA
-slim+bf16 dense path (144 us vs 394 us per batched vf eval at n=400, B=16,
-L=3 on v5e -- see benchmarks/megakernel_micro.py and PERFORMANCE.md).
+STATUS: production TPU path since round 2, for training AND inference --
+flagship dyn train step 0.905 s (f32) / 0.663 s (bf16) vs 1.39 s on the
+dense XLA backend; forward vf eval 2.5x the XLA slim+bf16 dense path.
+The round-1 Mosaic compile-time blocker (>15 min at n>=400) no longer
+reproduces (~3 s at n=400). History: an earlier revision DMA'd the interval
+planes via scalar-prefetch index_maps -- faster in isolation but
+catastrophic under the loss-level vmap (no efficient batching rule; see
+PERFORMANCE.md round-2 section).
 """
 
 from __future__ import annotations
