@@ -115,6 +115,141 @@ def sharded_fused_apply(
     )
 
 
+def sharded_sparse_fused_apply(
+    indices_loc: jax.Array,   # (n_loc, K) int32 GLOBAL column ids; padding == n
+    valsA_loc: jax.Array,     # (n_loc, K) local row slab of A's ELL values
+    valsdA_loc: jax.Array,    # (n_loc, K) local row slab of dA's ELL values
+    M_loc: jax.Array,         # (n_loc, H) row slab of transformed features
+    params: tp.Sequence[jax.Array],
+    n: int,                   # GLOBAL node count (static)
+    axis_name: str = "graph",
+    add_identity: bool = False,
+    directed: bool = False,
+) -> jax.Array:
+    """Row-sharded sparse (ELL) fused basis apply: the scaled-n multi-device
+    message-passing path (SURVEY.md section 2.2 x 2.3(a)).
+
+    Each device owns an ELL row slab with GLOBAL column indices (padding
+    slots == ``n``). A and dA share one index pattern (interp guarantees it:
+    they interpolate the same signal), so the basis pairs combine values
+    first, exactly like ``ops.sparse.sparse_fused_apply``. Per device, one
+    layer costs:
+
+      * ``all_gather(M)``              -- halo for the gather-SpMM row pair,
+      * local gather-SpMM              -- O(nnz_loc * H),
+      * local segment-sum partial of the transpose pair + ``psum_scatter``,
+      * O(n) ``psum``s for the rank-1 basis reductions.
+
+    vs the dense sharded path this replaces two (n/G, n) @ (n, H) matmuls
+    with O(nnz/G * H) gathers -- the only viable layout once n is large
+    enough that (n, n) slabs stop fitting in HBM. Matches
+    ``ops.equiv_basis.fused_apply`` allclose (tested on an 8-device mesh),
+    including the reference's term_7 sum(A) and directed term_4_prime quirks
+    (reference layers.py:102-160, 256-345).
+
+    Must run inside ``shard_map`` with ``axis_name`` mapped. Returns the
+    local (n_loc, H) output slab.
+    """
+    n_loc, K = indices_loc.shape
+    num_shards = jax.lax.psum(1, axis_name)
+    if n_loc * num_shards != n:
+        raise ValueError(
+            f"sharded_sparse_fused_apply requires n % num_shards == 0: got "
+            f"local slab ({n_loc}, {K}) over {num_shards} shards with global "
+            f"n={n}. Pad the node dimension to a multiple of the graph axis."
+        )
+    idx = jax.lax.axis_index(axis_name)
+    col0 = idx * n_loc
+
+    if directed:
+        p1, p2, p3, p4, p4p, p5, p5p, p6, p6p, p7, p8 = params
+    else:
+        p1, p2, p3, p4, p5, p6, p7, p8 = params
+
+    # ---- O(n)/O(nnz) reductions --------------------------------------------
+    rA_loc = jnp.sum(valsA_loc, axis=1)   # row sums of local rows (padding=0)
+    rdA_loc = jnp.sum(valsdA_loc, axis=1)
+    sA = _psum(jnp.sum(rA_loc), axis_name)
+    sdA = _psum(jnp.sum(rdA_loc), axis_name)
+
+    # Local diagonal entries: slots whose global column == global row.
+    diag_mask = indices_loc == (col0 + jnp.arange(n_loc))[:, None]
+    diagA_loc = jnp.sum(jnp.where(diag_mask, valsA_loc, 0.0), axis=1)
+    diagdA_loc = jnp.sum(jnp.where(diag_mask, valsdA_loc, 0.0), axis=1)
+
+    flat_idx = indices_loc.reshape(-1)
+    if directed:
+        # Column sums: local partial over all n+1 segments, then reduce and
+        # keep this shard's column slab.
+        cA_part = jax.ops.segment_sum(
+            valsA_loc.reshape(-1), flat_idx, num_segments=n + 1
+        )[:-1]
+        cdA_part = jax.ops.segment_sum(
+            valsdA_loc.reshape(-1), flat_idx, num_segments=n + 1
+        )[:-1]
+        cA_loc = jax.lax.psum_scatter(
+            cA_part, axis_name, scatter_dimension=0, tiled=True
+        )
+        cdA_loc = jax.lax.psum_scatter(
+            cdA_part, axis_name, scatter_dimension=0, tiled=True
+        )
+
+    # ---- feature-side reductions --------------------------------------------
+    s = _psum(jnp.sum(M_loc, axis=0), axis_name)  # colsum(M): (H,)
+    if directed:
+        v_loc = (
+            (p4p[0] * rA_loc + p4p[1] * cdA_loc)  # reference term_4_prime quirk
+            + (p5[0] * cA_loc + p5[1] * cdA_loc)
+            + (p5p[0] * rA_loc + p5p[1] * rdA_loc)
+        ) / n
+    else:
+        v_loc = (p5[0] * rA_loc + p5[1] * rdA_loc) / n
+    w = _psum(v_loc @ M_loc, axis_name)           # (H,)
+
+    # ---- halo exchange + sparse pair ----------------------------------------
+    M_full = jax.lax.all_gather(M_loc, axis_name, tiled=True)  # (n, H)
+    M_pad = jnp.concatenate([M_full, jnp.zeros((1, M_full.shape[1]), M_full.dtype)], 0)
+    B1_vals = (1.0 + p1[0]) * valsA_loc + (1.0 + p1[1]) * valsdA_loc
+    rowpart = jnp.einsum("nk,nkh->nh", B1_vals, M_pad[indices_loc])  # (n_loc, H)
+
+    B2_vals = p2[0] * valsA_loc + p2[1] * valsdA_loc
+    contrib = (B2_vals[..., None] * M_loc[:, None, :]).reshape(n_loc * K, -1)
+    partial = jax.ops.segment_sum(contrib, flat_idx, num_segments=n + 1)[:-1]
+    colpart = jax.lax.psum_scatter(
+        partial, axis_name, scatter_dimension=0, tiled=True
+    )  # (n_loc, H)
+
+    # ---- rank-structured corrections ----------------------------------------
+    if directed:
+        dvec_loc = (
+            p3[0] * diagA_loc
+            + p3[1] * diagdA_loc
+            + (p6[0] * cA_loc + p6[1] * cdA_loc) / n
+            + (p6p[0] * rA_loc + p6p[1] * rdA_loc) / n
+            + (p8[0] * sA + p8[1] * sdA) / n**2
+        )
+        u_loc = (p4[0] * cA_loc + p4[1] * cdA_loc) / n
+    else:
+        dvec_loc = (
+            p3[0] * diagA_loc
+            + p3[1] * diagdA_loc
+            + (p6[0] * rA_loc + p6[1] * rdA_loc) / n
+            + (p8[0] * sA + p8[1] * sdA) / n**2
+        )
+        u_loc = (p4[0] * rA_loc + p4[1] * rdA_loc) / n
+    if add_identity:
+        dvec_loc = dvec_loc + 1.0
+    c7 = (p7[0] + p7[1]) * sA / n**2  # reference term_7 quirk: sum(A) twice
+
+    return (
+        rowpart
+        + colpart
+        + dvec_loc[:, None] * M_loc
+        + u_loc[:, None] * s[None, :]
+        + (w + c7 * s)[None, :]
+    )
+
+
 def sharded_equiv_conv(layer, Z_loc, A_loc, dA_loc, axis_name="graph"):
     """Row-sharded ConvEquivFusionLayer forward: transform locally, then
     sharded fused matvec with the residual identity folded in."""
@@ -157,6 +292,56 @@ def make_sharded_vf_eval(mesh: Mesh, vf, axis_name: str = "graph"):
         mesh=mesh,
         in_specs=(spec_feat, spec_mat, spec_mat),
         out_specs=spec_feat,
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def sharded_sparse_equiv_conv(
+    layer, Z_loc, indices_loc, valsA_loc, valsdA_loc, n, axis_name="graph",
+    directed=False,
+):
+    """Row-sharded ConvEquivFusionLayer forward on ELL slabs: transform
+    locally, then sparse sharded fused matvec with the residual identity
+    folded in."""
+    M_loc = layer.conv_layer.transform(Z_loc)
+    return sharded_sparse_fused_apply(
+        indices_loc, valsA_loc, valsdA_loc, M_loc, layer.params, n,
+        axis_name=axis_name, add_identity=True, directed=directed,
+    )
+
+
+def make_sharded_sparse_vf_eval(mesh: Mesh, vf, n: int, axis_name: str = "graph"):
+    """Build a jitted node-sharded SPARSE vf-stack evaluation over ``mesh``.
+
+    Returns f(Z, indices, valsA, valsdA) on FULL (n, .) arrays carried with
+    node-sharded layouts (indices hold GLOBAL column ids, padding == n);
+    shard_map hands each device its ELL row slab. The sparse counterpart of
+    ``make_sharded_vf_eval`` for graphs whose (n, n) dense slabs no longer
+    fit in HBM.
+    """
+    try:  # jax >= 0.8
+        from jax import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    spec = P(axis_name, None)
+
+    def local(Z_loc, indices_loc, valsA_loc, valsdA_loc):
+        feats = Z_loc
+        for i, layer in enumerate(vf.gnn_layers):
+            feats = sharded_sparse_equiv_conv(
+                layer, feats, indices_loc, valsA_loc, valsdA_loc, n, axis_name
+            )
+            if i < len(vf.gnn_layers) - 1:
+                feats = jax.nn.relu(feats)
+        return feats
+
+    sharded = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec, spec, spec, spec),
+        out_specs=spec,
         check_vma=False,
     )
     return jax.jit(sharded)

@@ -127,3 +127,90 @@ def test_sharded_solve_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(ys_sharded), np.asarray(sol.ys), atol=2e-3
     )
+
+
+def _ell_parts(A, K):
+    """Full-array ELL (GLOBAL column ids, padding == n) for shard_map specs."""
+    from gncde_tpu.ops.sparse import ell_from_dense
+
+    ell = ell_from_dense(np.asarray(A), max_degree=K)
+    return ell.indices, ell.values
+
+
+@pytest.mark.parametrize("directed", [False, True])
+def test_sharded_sparse_fused_apply_matches_dense(directed):
+    try:  # jax >= 0.8
+        from jax import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+    from gncde_tpu.parallel.sharded_ops import sharded_sparse_fused_apply
+
+    n, H = 64, 16
+    nterms = 11 if directed else 8
+    mesh = make_mesh(8, graph_axis=8)
+    rng = np.random.default_rng(0)
+    # Shared sparsity pattern for A and dA (interp guarantees this), with
+    # some diagonal entries so the diag terms are exercised.
+    mask = rng.random((n, n)) < 0.1
+    np.fill_diagonal(mask, rng.random(n) < 0.5)
+    K = int(mask.sum(axis=1).max())  # no truncation vs the dense oracle
+    A = np.where(mask, rng.normal(size=(n, n)), 0.0).astype(np.float32)
+    dA = np.where(mask, rng.normal(size=(n, n)), 0.0).astype(np.float32)
+    M = rng.normal(size=(n, H)).astype(np.float32)
+    params = tuple(
+        (1 / 15 * rng.uniform(-1, 1, size=2)).astype(np.float32)
+        for _ in range(nterms)
+    )
+
+    indices, valsA = _ell_parts(A, K)
+    _, valsdA = _ell_parts(dA, K)
+
+    def local(idx_loc, vA_loc, vdA_loc, M_loc):
+        return sharded_sparse_fused_apply(
+            idx_loc, vA_loc, vdA_loc, M_loc, params, n, "graph",
+            add_identity=True, directed=directed,
+        )
+
+    f = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("graph", None),) * 4,
+        out_specs=P("graph", None),
+        check_vma=False,
+    )
+    got = jax.jit(f)(indices, valsA, valsdA, jnp.asarray(M))
+    ref = fused_apply(
+        jnp.asarray(A), jnp.asarray(dA), jnp.asarray(M), params,
+        add_identity=True, directed=directed,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+def test_sharded_sparse_vf_stack_matches_dense():
+    from gncde_tpu.parallel.sharded_ops import make_sharded_sparse_vf_eval
+
+    n, H = 64, 8
+    mesh = make_mesh(8, graph_axis=8)
+    vf = PermEquivGraphVectorField(
+        input_dim=H, hidden_dim=H, output_dim=H, num_layers=3,
+        data_embed_dim=1, num_nodes=n, key=jr.PRNGKey(1),
+    )
+    rng = np.random.default_rng(1)
+    mask = rng.random((n, n)) < 0.1
+    K = int(mask.sum(axis=1).max())
+    A = np.where(mask, 0.1 * rng.normal(size=(n, n)), 0.0).astype(np.float32)
+    dA = np.where(mask, 0.1 * rng.normal(size=(n, n)), 0.0).astype(np.float32)
+    Z = jr.normal(jr.PRNGKey(2), (n, H))
+
+    indices, valsA = _ell_parts(A, K)
+    _, valsdA = _ell_parts(dA, K)
+
+    f = make_sharded_sparse_vf_eval(mesh, vf, n)
+    got = f(Z, indices, valsA, valsdA)
+
+    feats = Z
+    for i, layer in enumerate(vf.gnn_layers):
+        feats = layer(feats, jnp.asarray(A), jnp.asarray(dA))
+        if i < len(vf.gnn_layers) - 1:
+            feats = jax.nn.relu(feats)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(feats), atol=1e-4, rtol=1e-3)
