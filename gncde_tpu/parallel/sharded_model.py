@@ -28,8 +28,9 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from ..interp import CubicInterpolation, LinearInterpolation
+from ..interp.sparse_paths import SparseCubicMatrixPath, SparseLinearMatrixPath
 from ..solve import ODETerm, SaveAt, PIDController, diffeqsolve
-from .sharded_ops import sharded_vf_stack
+from .sharded_ops import sharded_sparse_vf_stack, sharded_vf_stack
 
 
 def make_sharded_gncde_solve(
@@ -81,6 +82,71 @@ def make_sharded_gncde_solve(
         local_solve,
         mesh=mesh,
         in_specs=(P(None), coeff_specs, P(axis_name, None)),
+        out_specs=P(None, axis_name, None),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_sharded_sparse_gncde_solve(
+    mesh: Mesh,
+    vf,
+    n: int,
+    interpolation: str = "cubic",
+    rtol: float = 1e-3,
+    atol: float = 1e-6,
+    max_steps: int = 512,
+    axis_name: str = "graph",
+):
+    """Node-sharded CDE solve over SPARSE (ELL) controls: the scaled-n
+    composition -- O(T nnz) coefficient storage (interp/sparse_paths.py) AND
+    O(nnz/G * H) per-device message passing (sharded_sparse_fused_apply),
+    with the same pmean'd global accept/reject decision as the dense solve.
+    No n^2 object exists anywhere: not in HBM (ELL planes), not per step
+    (sparse fused apply). This is the only layout that scales past what one
+    chip's HBM holds densely.
+
+    Returns ``f(ts, indices, coeffs, y0) -> ys`` where indices is the (n, K)
+    global-column ELL pattern (padding == n), coeffs the sparse Hermite
+    tuple, each (T-1, n, K) (or linear knots (T, n, K)), y0 (n, H) -- all
+    row-sharded over ``mesh``'s ``graph`` axis.
+    """
+
+    def local_solve(ts, indices_loc, coeffs_loc, y0_loc):
+        if interpolation == "cubic":
+            path = SparseCubicMatrixPath(ts, coeffs_loc, indices_loc, n)
+        else:
+            path = SparseLinearMatrixPath(ts, coeffs_loc, indices_loc, n)
+
+        def vf_sharded(t, y_loc, args):
+            ellA = path.evaluate(t)    # local-row ELL slab, global columns
+            elldA = path.derivative(t)
+            return sharded_sparse_vf_stack(
+                vf, y_loc, ellA.indices, ellA.values, elldA.values, n, axis_name
+            )
+
+        sol = diffeqsolve(
+            ODETerm(vf_sharded),
+            "tsit5",
+            t0=ts[0],
+            t1=ts[-1],
+            dt0=None,
+            y0=y0_loc,
+            stepsize_controller=PIDController(rtol, atol, axis_name=axis_name),
+            saveat=SaveAt(ts=ts),
+            max_steps=max_steps,
+        )
+        return sol.ys
+
+    if interpolation == "cubic":
+        coeff_specs = tuple(P(None, axis_name, None) for _ in range(4))
+    else:
+        coeff_specs = P(None, axis_name, None)
+
+    sharded = shard_map(
+        local_solve,
+        mesh=mesh,
+        in_specs=(P(None), P(axis_name, None), coeff_specs, P(axis_name, None)),
         out_specs=P(None, axis_name, None),
         check_vma=False,
     )

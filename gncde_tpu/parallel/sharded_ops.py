@@ -311,6 +311,21 @@ def sharded_sparse_equiv_conv(
     )
 
 
+def sharded_sparse_vf_stack(
+    vf, Z_loc, indices_loc, valsA_loc, valsdA_loc, n, axis_name="graph",
+):
+    """Row-sharded PermEquivGraphVectorField layer stack on ELL slabs
+    (slim-control semantics with unit time gradient)."""
+    feats = Z_loc
+    for i, layer in enumerate(vf.gnn_layers):
+        feats = sharded_sparse_equiv_conv(
+            layer, feats, indices_loc, valsA_loc, valsdA_loc, n, axis_name
+        )
+        if i < len(vf.gnn_layers) - 1:
+            feats = jax.nn.relu(feats)
+    return feats
+
+
 def make_sharded_sparse_vf_eval(mesh: Mesh, vf, n: int, axis_name: str = "graph"):
     """Build a jitted node-sharded SPARSE vf-stack evaluation over ``mesh``.
 
@@ -328,14 +343,9 @@ def make_sharded_sparse_vf_eval(mesh: Mesh, vf, n: int, axis_name: str = "graph"
     spec = P(axis_name, None)
 
     def local(Z_loc, indices_loc, valsA_loc, valsdA_loc):
-        feats = Z_loc
-        for i, layer in enumerate(vf.gnn_layers):
-            feats = sharded_sparse_equiv_conv(
-                layer, feats, indices_loc, valsA_loc, valsdA_loc, n, axis_name
-            )
-            if i < len(vf.gnn_layers) - 1:
-                feats = jax.nn.relu(feats)
-        return feats
+        return sharded_sparse_vf_stack(
+            vf, Z_loc, indices_loc, valsA_loc, valsdA_loc, n, axis_name
+        )
 
     sharded = shard_map(
         local,

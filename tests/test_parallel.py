@@ -214,3 +214,44 @@ def test_sharded_sparse_vf_stack_matches_dense():
         if i < len(vf.gnn_layers) - 1:
             feats = jax.nn.relu(feats)
     np.testing.assert_allclose(np.asarray(got), np.asarray(feats), atol=1e-4, rtol=1e-3)
+
+
+def test_sharded_sparse_solve_matches_single_device():
+    """Full adaptive CDE solve over SPARSE (ELL) controls under shard_map ==
+    the single-device sparse-control solve (and, since the union-pattern
+    gather is exact, the dense-control solve)."""
+    from gncde_tpu.parallel.sharded_model import make_sharded_sparse_gncde_solve
+    from gncde_tpu.interp.sparse_paths import SparseMatrixControl
+    from gncde_tpu.solve import ODETerm, SaveAt, PIDController, diffeqsolve
+
+    n, T, H = 64, 6, 8
+    mesh = make_mesh(8, graph_axis=8)
+    vf = PermEquivGraphVectorField(
+        input_dim=H, hidden_dim=H, output_dim=H, num_layers=2,
+        data_embed_dim=1, num_nodes=n, key=jr.PRNGKey(0),
+    )
+    ts = jnp.linspace(0.0, 1.0, T)
+    rng = np.random.default_rng(3)
+    mask = rng.random((n, n)) < 0.1
+    A_path = jnp.asarray(
+        np.where(mask, 0.1 * rng.random((T, n, n)), 0.0).astype(np.float32)
+    )
+    y0 = jr.normal(jr.PRNGKey(2), (n, H)) * 0.1
+
+    ctrl = SparseMatrixControl.from_knots(ts, A_path, "cubic")
+    path = ctrl.path
+
+    f = make_sharded_sparse_gncde_solve(
+        mesh, vf, n, rtol=1e-6, atol=1e-9, max_steps=2048
+    )
+    with mesh:
+        ys_sharded = f(ts, path.indices, tuple(path.coeffs), y0)
+
+    sol = diffeqsolve(
+        ODETerm(vf), "tsit5", ts[0], ts[-1], None, y0, args=ctrl,
+        stepsize_controller=PIDController(1e-6, 1e-9), saveat=SaveAt(ts=ts),
+        max_steps=2048,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ys_sharded), np.asarray(sol.ys), atol=2e-3
+    )
