@@ -97,6 +97,7 @@ def make_sharded_sparse_gncde_solve(
     atol: float = 1e-6,
     max_steps: int = 512,
     axis_name: str = "graph",
+    halo: tp.Optional[int] = None,
 ):
     """Node-sharded CDE solve over SPARSE (ELL) controls: the scaled-n
     composition -- O(T nnz) coefficient storage (interp/sparse_paths.py) AND
@@ -110,6 +111,11 @@ def make_sharded_sparse_gncde_solve(
     global-column ELL pattern (padding == n), coeffs the sparse Hermite
     tuple, each (T-1, n, K) (or linear knots (T, n, K)), y0 (n, H) -- all
     row-sharded over ``mesh``'s ``graph`` axis.
+
+    ``halo`` (compute with ``ell_halo_width(indices, n, G)`` on the host)
+    switches each vf eval's feature exchange from all-gather/psum_scatter to
+    ppermute neighbour rings -- for banded/clustered graphs each device then
+    moves O(halo * n/G * H) bytes per layer instead of O(n * H).
     """
 
     def local_solve(ts, indices_loc, coeffs_loc, y0_loc):
@@ -122,7 +128,8 @@ def make_sharded_sparse_gncde_solve(
             ellA = path.evaluate(t)    # local-row ELL slab, global columns
             elldA = path.derivative(t)
             return sharded_sparse_vf_stack(
-                vf, y_loc, ellA.indices, ellA.values, elldA.values, n, axis_name
+                vf, y_loc, ellA.indices, ellA.values, elldA.values, n,
+                axis_name, halo=halo,
             )
 
         sol = diffeqsolve(

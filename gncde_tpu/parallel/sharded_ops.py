@@ -16,8 +16,16 @@ the node dimension is the TP/CP-analogue axis). Under ``shard_map`` over a
       - O(n) ``psum``s for the global sums feeding the rank-1 basis terms.
     XLA overlaps the all-gather with the local matmul (async collectives).
 
+For SPARSE (ELL) slabs over banded/clustered graphs, the all_gather and
+psum_scatter degrade to moving O(n*H) per device even though each shard only
+references columns owned by a few neighbour shards. ``ell_halo_width``
+computes the minimal neighbour distance from the index pattern, and
+``sharded_sparse_fused_apply(..., halo=h)`` then exchanges exactly 2h
+(n/G, H) slabs each way via ``ppermute`` rings -- ICI neighbour traffic
+instead of full-mesh collectives.
+
 Numerics match gncde_tpu.ops.equiv_basis.fused_apply exactly (tested allclose
-on a virtual CPU mesh).
+on a virtual CPU mesh, both halo and all-gather paths).
 """
 
 from __future__ import annotations
@@ -27,6 +35,7 @@ import typing as tp
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import equiv_basis
@@ -34,6 +43,71 @@ from ..ops import equiv_basis
 
 def _psum(x, axis_name):
     return jax.lax.psum(x, axis_name)
+
+
+def ell_halo_width(indices, n: int, num_shards: int) -> int:
+    """Minimal circular halo width for a row-sharded ELL pattern.
+
+    Host-side partitioning helper: returns the smallest ``h`` such that every
+    non-padding column referenced by shard ``i``'s row slab is owned by a
+    shard within circular distance ``h`` of ``i``. Banded/clustered graphs
+    (grids, community graphs, locality-reordered meshes) give small ``h``,
+    letting the sharded sparse fused apply exchange only neighbour slabs via
+    ``ppermute`` instead of all-gathering the full feature matrix. If
+    ``2*h + 1 >= num_shards`` the halo covers everything and the all-gather
+    path is cheaper -- callers should pass ``halo=None`` in that case (the
+    runtime falls back automatically).
+    """
+    idx = np.asarray(indices)
+    if idx.size == 0:
+        return 0
+    n_loc = n // num_shards
+    if n_loc * num_shards != n:
+        raise ValueError(f"n={n} must be divisible by num_shards={num_shards}")
+    row_shard = (np.arange(idx.shape[0]) // n_loc)[:, None]
+    valid = idx != n
+    col_shard = np.minimum(idx, n - 1) // n_loc
+    # Signed circular shard distance in [-G//2, G//2).
+    d = (col_shard - row_shard + num_shards // 2) % num_shards - num_shards // 2
+    d = np.where(valid, d, 0)
+    return int(np.max(np.abs(d)))
+
+
+def _halo_ring_gather(M_loc, halo: int, axis_name: str, num_shards: int):
+    """Gather the (2*halo+1)-shard feature window via ``ppermute`` rings.
+
+    Window position ``halo + d`` holds shard ``idx + d``'s slab (circular).
+    Returns ((2*halo+1)*n_loc, H). Comm: 2*halo slabs of (n_loc, H) per
+    device vs the all-gather's (G-1) slabs.
+    """
+    slabs = [None] * (2 * halo + 1)
+    slabs[halo] = M_loc
+    for d in range(1, halo + 1):
+        fwd = [((i + d) % num_shards, i) for i in range(num_shards)]
+        bwd = [((i - d) % num_shards, i) for i in range(num_shards)]
+        slabs[halo + d] = jax.lax.ppermute(M_loc, axis_name, fwd)
+        slabs[halo - d] = jax.lax.ppermute(M_loc, axis_name, bwd)
+    return jnp.concatenate(slabs, axis=0)
+
+
+def _halo_ring_scatter(partial_window, halo: int, axis_name: str,
+                       num_shards: int, n_loc: int):
+    """Deliver window-keyed partial sums to their owning shards.
+
+    ``partial_window`` is ((2*halo+1)*n_loc, H); the slab at window position
+    ``halo + d`` (computed locally) belongs to shard ``idx + d``. Each slab
+    rides one ``ppermute``; the receiver sums its 2*halo+1 contributions.
+    The neighbour-exchange replacement for ``psum_scatter`` over (n, H).
+    """
+    out = partial_window[halo * n_loc:(halo + 1) * n_loc]
+    for d in range(1, halo + 1):
+        fwd_slab = partial_window[(halo + d) * n_loc:(halo + d + 1) * n_loc]
+        bwd_slab = partial_window[(halo - d) * n_loc:(halo - d + 1) * n_loc]
+        fwd = [(i, (i + d) % num_shards) for i in range(num_shards)]
+        bwd = [(i, (i - d) % num_shards) for i in range(num_shards)]
+        out = out + jax.lax.ppermute(fwd_slab, axis_name, fwd)
+        out = out + jax.lax.ppermute(bwd_slab, axis_name, bwd)
+    return out
 
 
 def sharded_fused_apply(
@@ -125,6 +199,7 @@ def sharded_sparse_fused_apply(
     axis_name: str = "graph",
     add_identity: bool = False,
     directed: bool = False,
+    halo: tp.Optional[int] = None,
 ) -> jax.Array:
     """Row-sharded sparse (ELL) fused basis apply: the scaled-n multi-device
     message-passing path (SURVEY.md section 2.2 x 2.3(a)).
@@ -139,6 +214,15 @@ def sharded_sparse_fused_apply(
       * local gather-SpMM              -- O(nnz_loc * H),
       * local segment-sum partial of the transpose pair + ``psum_scatter``,
       * O(n) ``psum``s for the rank-1 basis reductions.
+
+    With ``halo=h`` (from :func:`ell_halo_width`: every referenced column is
+    owned by a shard within circular distance h), the all-gather and
+    psum_scatter are replaced by ``ppermute`` neighbour rings moving only
+    2h slabs of (n_loc, H) each way -- the banded/clustered-graph fast path.
+    Columns outside the halo window read/write the zero padding row, so an
+    understated ``h`` silently drops edges: always compute it from the true
+    index pattern. Falls back to the all-gather path when ``halo is None``
+    or the window already spans the mesh axis.
 
     vs the dense sharded path this replaces two (n/G, n) @ (n, H) matmuls
     with O(nnz/G * H) gathers -- the only viable layout once n is large
@@ -207,17 +291,39 @@ def sharded_sparse_fused_apply(
     w = _psum(v_loc @ M_loc, axis_name)           # (H,)
 
     # ---- halo exchange + sparse pair ----------------------------------------
-    M_full = jax.lax.all_gather(M_loc, axis_name, tiled=True)  # (n, H)
-    M_pad = jnp.concatenate([M_full, jnp.zeros((1, M_full.shape[1]), M_full.dtype)], 0)
     B1_vals = (1.0 + p1[0]) * valsA_loc + (1.0 + p1[1]) * valsdA_loc
-    rowpart = jnp.einsum("nk,nkh->nh", B1_vals, M_pad[indices_loc])  # (n_loc, H)
-
     B2_vals = p2[0] * valsA_loc + p2[1] * valsdA_loc
-    contrib = (B2_vals[..., None] * M_loc[:, None, :]).reshape(n_loc * K, -1)
-    partial = jax.ops.segment_sum(contrib, flat_idx, num_segments=n + 1)[:-1]
-    colpart = jax.lax.psum_scatter(
-        partial, axis_name, scatter_dimension=0, tiled=True
-    )  # (n_loc, H)
+    use_halo = halo is not None and 2 * halo + 1 < num_shards
+    if use_halo:
+        W = (2 * halo + 1) * n_loc
+        base = (idx - halo) * n_loc
+        # Window-local ids: padding (== n) -> W; out-of-window -> clamped to
+        # the zero row at W (contract: halo >= ell_halo_width, see docstring).
+        loc_idx = jnp.where(indices_loc == n, W, (indices_loc - base) % n)
+        loc_idx = jnp.minimum(loc_idx, W)
+        M_window = _halo_ring_gather(M_loc, halo, axis_name, num_shards)
+        M_pad = jnp.concatenate(
+            [M_window, jnp.zeros((1, M_window.shape[1]), M_window.dtype)], 0
+        )
+        rowpart = jnp.einsum("nk,nkh->nh", B1_vals, M_pad[loc_idx])
+
+        contrib = (B2_vals[..., None] * M_loc[:, None, :]).reshape(n_loc * K, -1)
+        partial = jax.ops.segment_sum(
+            contrib, loc_idx.reshape(-1), num_segments=W + 1
+        )[:-1]
+        colpart = _halo_ring_scatter(partial, halo, axis_name, num_shards, n_loc)
+    else:
+        M_full = jax.lax.all_gather(M_loc, axis_name, tiled=True)  # (n, H)
+        M_pad = jnp.concatenate(
+            [M_full, jnp.zeros((1, M_full.shape[1]), M_full.dtype)], 0
+        )
+        rowpart = jnp.einsum("nk,nkh->nh", B1_vals, M_pad[indices_loc])  # (n_loc, H)
+
+        contrib = (B2_vals[..., None] * M_loc[:, None, :]).reshape(n_loc * K, -1)
+        partial = jax.ops.segment_sum(contrib, flat_idx, num_segments=n + 1)[:-1]
+        colpart = jax.lax.psum_scatter(
+            partial, axis_name, scatter_dimension=0, tiled=True
+        )  # (n_loc, H)
 
     # ---- rank-structured corrections ----------------------------------------
     if directed:
@@ -299,7 +405,7 @@ def make_sharded_vf_eval(mesh: Mesh, vf, axis_name: str = "graph"):
 
 def sharded_sparse_equiv_conv(
     layer, Z_loc, indices_loc, valsA_loc, valsdA_loc, n, axis_name="graph",
-    directed=False,
+    directed=False, halo=None,
 ):
     """Row-sharded ConvEquivFusionLayer forward on ELL slabs: transform
     locally, then sparse sharded fused matvec with the residual identity
@@ -307,33 +413,39 @@ def sharded_sparse_equiv_conv(
     M_loc = layer.conv_layer.transform(Z_loc)
     return sharded_sparse_fused_apply(
         indices_loc, valsA_loc, valsdA_loc, M_loc, layer.params, n,
-        axis_name=axis_name, add_identity=True, directed=directed,
+        axis_name=axis_name, add_identity=True, directed=directed, halo=halo,
     )
 
 
 def sharded_sparse_vf_stack(
     vf, Z_loc, indices_loc, valsA_loc, valsdA_loc, n, axis_name="graph",
+    halo=None,
 ):
     """Row-sharded PermEquivGraphVectorField layer stack on ELL slabs
     (slim-control semantics with unit time gradient)."""
     feats = Z_loc
     for i, layer in enumerate(vf.gnn_layers):
         feats = sharded_sparse_equiv_conv(
-            layer, feats, indices_loc, valsA_loc, valsdA_loc, n, axis_name
+            layer, feats, indices_loc, valsA_loc, valsdA_loc, n, axis_name,
+            halo=halo,
         )
         if i < len(vf.gnn_layers) - 1:
             feats = jax.nn.relu(feats)
     return feats
 
 
-def make_sharded_sparse_vf_eval(mesh: Mesh, vf, n: int, axis_name: str = "graph"):
+def make_sharded_sparse_vf_eval(
+    mesh: Mesh, vf, n: int, axis_name: str = "graph",
+    halo: tp.Optional[int] = None,
+):
     """Build a jitted node-sharded SPARSE vf-stack evaluation over ``mesh``.
 
     Returns f(Z, indices, valsA, valsdA) on FULL (n, .) arrays carried with
     node-sharded layouts (indices hold GLOBAL column ids, padding == n);
     shard_map hands each device its ELL row slab. The sparse counterpart of
     ``make_sharded_vf_eval`` for graphs whose (n, n) dense slabs no longer
-    fit in HBM.
+    fit in HBM. ``halo`` (from :func:`ell_halo_width`) switches the feature
+    exchange from all-gather to ppermute neighbour rings.
     """
     try:  # jax >= 0.8
         from jax import shard_map
@@ -344,7 +456,8 @@ def make_sharded_sparse_vf_eval(mesh: Mesh, vf, n: int, axis_name: str = "graph"
 
     def local(Z_loc, indices_loc, valsA_loc, valsdA_loc):
         return sharded_sparse_vf_stack(
-            vf, Z_loc, indices_loc, valsA_loc, valsdA_loc, n, axis_name
+            vf, Z_loc, indices_loc, valsA_loc, valsdA_loc, n, axis_name,
+            halo=halo,
         )
 
     sharded = shard_map(

@@ -255,3 +255,127 @@ def test_sharded_sparse_solve_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(ys_sharded), np.asarray(sol.ys), atol=2e-3
     )
+
+
+def _banded_mask(n: int, b: int) -> np.ndarray:
+    """Circular band mask: (i, j) present iff circular |i - j| <= b."""
+    i = np.arange(n)
+    d = (i[:, None] - i[None, :] + n // 2) % n - n // 2
+    return np.abs(d) <= b
+
+
+def test_ell_halo_width():
+    from gncde_tpu.ops.sparse import ell_from_dense
+    from gncde_tpu.parallel.sharded_ops import ell_halo_width
+
+    n, G = 64, 8  # n_loc = 8
+    rng = np.random.default_rng(7)
+
+    diag = np.diag(rng.random(n)).astype(np.float32)
+    ell = ell_from_dense(diag)
+    assert ell_halo_width(ell.indices, n, G) == 0
+
+    band = np.where(_banded_mask(n, 8), rng.random((n, n)), 0.0)
+    ell = ell_from_dense(band.astype(np.float32))
+    assert ell_halo_width(ell.indices, n, G) == 1
+
+    wide = np.where(_banded_mask(n, 20), rng.random((n, n)), 0.0)
+    ell = ell_from_dense(wide.astype(np.float32))
+    assert ell_halo_width(ell.indices, n, G) == 3
+
+
+@pytest.mark.parametrize("directed", [False, True])
+def test_sharded_sparse_fused_apply_halo_matches_dense(directed):
+    """ppermute neighbour-ring halo exchange == dense oracle on a banded
+    graph (halo computed from the index pattern, here 1 neighbour shard)."""
+    try:  # jax >= 0.8
+        from jax import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+    from gncde_tpu.parallel.sharded_ops import (
+        ell_halo_width,
+        sharded_sparse_fused_apply,
+    )
+
+    n, H, G = 64, 16, 8
+    nterms = 11 if directed else 8
+    mesh = make_mesh(8, graph_axis=8)
+    rng = np.random.default_rng(5)
+    mask = _banded_mask(n, 7) & (rng.random((n, n)) < 0.7)
+    np.fill_diagonal(mask, rng.random(n) < 0.5)
+    K = int(mask.sum(axis=1).max())
+    A = np.where(mask, rng.normal(size=(n, n)), 0.0).astype(np.float32)
+    dA = np.where(mask, rng.normal(size=(n, n)), 0.0).astype(np.float32)
+    M = rng.normal(size=(n, H)).astype(np.float32)
+    params = tuple(
+        (1 / 15 * rng.uniform(-1, 1, size=2)).astype(np.float32)
+        for _ in range(nterms)
+    )
+
+    indices, valsA = _ell_parts(A, K)
+    _, valsdA = _ell_parts(dA, K)
+    halo = ell_halo_width(indices, n, G)
+    assert halo == 1  # the band wraps shard boundaries by one neighbour
+
+    def local(idx_loc, vA_loc, vdA_loc, M_loc):
+        return sharded_sparse_fused_apply(
+            idx_loc, vA_loc, vdA_loc, M_loc, params, n, "graph",
+            add_identity=True, directed=directed, halo=halo,
+        )
+
+    f = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("graph", None),) * 4,
+        out_specs=P("graph", None),
+        check_vma=False,
+    )
+    got = jax.jit(f)(indices, valsA, valsdA, jnp.asarray(M))
+    ref = fused_apply(
+        jnp.asarray(A), jnp.asarray(dA), jnp.asarray(M), params,
+        add_identity=True, directed=directed,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+def test_sharded_sparse_solve_halo_matches_single_device():
+    """Full adaptive sparse solve with ppermute halo exchange == the
+    single-device sparse-control solve on a banded dynamic graph."""
+    from gncde_tpu.parallel.sharded_model import make_sharded_sparse_gncde_solve
+    from gncde_tpu.parallel.sharded_ops import ell_halo_width
+    from gncde_tpu.interp.sparse_paths import SparseMatrixControl
+    from gncde_tpu.solve import ODETerm, SaveAt, PIDController, diffeqsolve
+
+    n, T, H, G = 64, 6, 8, 8
+    mesh = make_mesh(8, graph_axis=8)
+    vf = PermEquivGraphVectorField(
+        input_dim=H, hidden_dim=H, output_dim=H, num_layers=2,
+        data_embed_dim=1, num_nodes=n, key=jr.PRNGKey(0),
+    )
+    ts = jnp.linspace(0.0, 1.0, T)
+    rng = np.random.default_rng(9)
+    mask = _banded_mask(n, 6) & (rng.random((n, n)) < 0.5)
+    A_path = jnp.asarray(
+        np.where(mask, 0.1 * rng.random((T, n, n)), 0.0).astype(np.float32)
+    )
+    y0 = jr.normal(jr.PRNGKey(2), (n, H)) * 0.1
+
+    ctrl = SparseMatrixControl.from_knots(ts, A_path, "cubic")
+    path = ctrl.path
+    halo = ell_halo_width(np.asarray(path.indices), n, G)
+    assert halo == 1
+
+    f = make_sharded_sparse_gncde_solve(
+        mesh, vf, n, rtol=1e-6, atol=1e-9, max_steps=2048, halo=halo
+    )
+    with mesh:
+        ys_sharded = f(ts, path.indices, tuple(path.coeffs), y0)
+
+    sol = diffeqsolve(
+        ODETerm(vf), "tsit5", ts[0], ts[-1], None, y0, args=ctrl,
+        stepsize_controller=PIDController(1e-6, 1e-9), saveat=SaveAt(ts=ts),
+        max_steps=2048,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ys_sharded), np.asarray(sol.ys), atol=2e-3
+    )
