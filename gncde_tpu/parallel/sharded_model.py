@@ -158,3 +158,96 @@ def make_sharded_sparse_gncde_solve(
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+def make_sharded_sparse_gncde_loss(
+    mesh: Mesh,
+    vf,
+    n: int,
+    interpolation: str = "cubic",
+    rtol: float = 1e-3,
+    atol: float = 1e-6,
+    max_steps: int = 512,
+    axis_name: str = "graph",
+    halo: tp.Optional[int] = None,
+    stepsize_controller=None,
+    dt0: tp.Optional[float] = None,
+):
+    """Differentiable node-sharded sparse CDE training loss.
+
+    The TRAINING companion of :func:`make_sharded_sparse_gncde_solve`: the
+    vector-field parameters enter the shard_map as explicit replicated
+    inputs (the solve factories close over them, which blocks
+    differentiation), so gradients flow through the ppermute/psum
+    collectives and the solver's checkpointed adjoint, and shard_map's
+    transpose psums the replicated-parameter cotangents across shards.
+
+    Returns ``(loss_fn, params0)`` where ``params0`` is the inexact-leaf
+    partition of ``vf`` and ``loss_fn(params, ts, indices, coeffs, y0,
+    labels) -> scalar`` is the MSE over save points (labels: (T, n, H)).
+    Differentiate with ``jax.value_and_grad(loss_fn)`` and jit over the
+    mesh; per-shard means are pmean'd so every device returns the global
+    loss.
+
+    ``stepsize_controller`` defaults to a PID controller with the pmean'd
+    global error norm; pass ``ConstantStepSize()`` + ``dt0`` for the
+    fixed-step (TGB/PGT-style) regime. A custom adaptive controller must
+    carry ``axis_name`` so its accept/reject decision stays global.
+    """
+    from ..nn import combine, is_inexact_array, partition
+
+    if stepsize_controller is None:
+        stepsize_controller = PIDController(rtol, atol, axis_name=axis_name)
+
+    params0, static = partition(vf, is_inexact_array)
+
+    def local_loss(params, ts, indices_loc, coeffs_loc, y0_loc, labels_loc):
+        vf_p = combine(params, static)
+        if interpolation == "cubic":
+            path = SparseCubicMatrixPath(ts, coeffs_loc, indices_loc, n)
+        else:
+            path = SparseLinearMatrixPath(ts, coeffs_loc, indices_loc, n)
+
+        def vf_sharded(t, y_loc, args):
+            ellA = path.evaluate(t)
+            elldA = path.derivative(t)
+            return sharded_sparse_vf_stack(
+                vf_p, y_loc, ellA.indices, ellA.values, elldA.values, n,
+                axis_name, halo=halo,
+            )
+
+        sol = diffeqsolve(
+            ODETerm(vf_sharded),
+            "tsit5",
+            t0=ts[0],
+            t1=ts[-1],
+            dt0=dt0,
+            y0=y0_loc,
+            stepsize_controller=stepsize_controller,
+            saveat=SaveAt(ts=ts),
+            max_steps=max_steps,
+        )
+        err = (sol.ys - labels_loc) ** 2
+        # Equal slabs, so the pmean of per-shard means is the global mean.
+        return jax.lax.pmean(jnp.mean(err), axis_name)
+
+    if interpolation == "cubic":
+        coeff_specs = tuple(P(None, axis_name, None) for _ in range(4))
+    else:
+        coeff_specs = P(None, axis_name, None)
+
+    sharded = shard_map(
+        local_loss,
+        mesh=mesh,
+        in_specs=(
+            P(),
+            P(None),
+            P(axis_name, None),
+            coeff_specs,
+            P(axis_name, None),
+            P(None, axis_name, None),
+        ),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return sharded, params0

@@ -379,3 +379,85 @@ def test_sharded_sparse_solve_halo_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(ys_sharded), np.asarray(sol.ys), atol=2e-3
     )
+
+
+def test_sharded_sparse_loss_grads_match_single_device():
+    """TRAINING through the node-sharded sparse halo solve: loss value and
+    parameter gradients match jax.value_and_grad through the single-device
+    sparse-control solve, and one optax step stays finite.
+
+    Fixed steps on both sides: under an adaptive controller the two (both
+    valid) step sequences diverge at the tolerance level and the adjoint
+    treats its own sequence as constant, so gradients differ by a few e-3
+    even when both are correct (verified against finite differences).
+    Identical fixed sequences make a tight comparison meaningful."""
+    import optax
+    from gncde_tpu.parallel.sharded_model import make_sharded_sparse_gncde_loss
+    from gncde_tpu.parallel.sharded_ops import ell_halo_width
+    from gncde_tpu.interp.sparse_paths import SparseMatrixControl
+    from gncde_tpu.nn import combine, is_inexact_array, partition
+    from gncde_tpu.solve import (
+        ConstantStepSize,
+        ODETerm,
+        SaveAt,
+        diffeqsolve,
+    )
+
+    n, T, H, G = 64, 5, 8, 8
+    mesh = make_mesh(8, graph_axis=8)
+    vf = PermEquivGraphVectorField(
+        input_dim=H, hidden_dim=H, output_dim=H, num_layers=2,
+        data_embed_dim=1, num_nodes=n, key=jr.PRNGKey(0),
+    )
+    ts = jnp.linspace(0.0, 1.0, T)
+    rng = np.random.default_rng(11)
+    mask = _banded_mask(n, 6) & (rng.random((n, n)) < 0.5)
+    A_path = jnp.asarray(
+        np.where(mask, 0.1 * rng.random((T, n, n)), 0.0).astype(np.float32)
+    )
+    y0 = jr.normal(jr.PRNGKey(2), (n, H)) * 0.1
+    labels = jr.normal(jr.PRNGKey(3), (T, n, H)) * 0.1
+
+    ctrl = SparseMatrixControl.from_knots(ts, A_path, "cubic")
+    path = ctrl.path
+    halo = ell_halo_width(np.asarray(path.indices), n, G)
+
+    dt0 = 0.02
+    loss_fn, params0 = make_sharded_sparse_gncde_loss(
+        mesh, vf, n, max_steps=128, halo=halo,
+        stepsize_controller=ConstantStepSize(), dt0=dt0,
+    )
+    with mesh:
+        val, grads = jax.jit(jax.value_and_grad(loss_fn))(
+            params0, ts, path.indices, tuple(path.coeffs), y0, labels
+        )
+
+    _, static = partition(vf, is_inexact_array)
+
+    def ref_loss(params):
+        sol = diffeqsolve(
+            ODETerm(combine(params, static)), "tsit5", ts[0], ts[-1], dt0,
+            y0, args=ctrl, stepsize_controller=ConstantStepSize(),
+            saveat=SaveAt(ts=ts), max_steps=128,
+        )
+        return jnp.mean((sol.ys - labels) ** 2)
+
+    ref_val, ref_grads = jax.jit(jax.value_and_grad(ref_loss))(params0)
+
+    np.testing.assert_allclose(float(val), float(ref_val), rtol=1e-5)
+    got_leaves = jax.tree_util.tree_leaves(grads)
+    ref_leaves = jax.tree_util.tree_leaves(ref_grads)
+    assert len(got_leaves) == len(ref_leaves)
+    for g, r in zip(got_leaves, ref_leaves):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), atol=1e-4, rtol=1e-2
+        )
+
+    optimiser = optax.adam(1e-3)
+    opt_state = optimiser.init(params0)
+    updates, _ = optimiser.update(grads, opt_state, params0)
+    new_params = optax.apply_updates(params0, updates)
+    assert all(
+        bool(jnp.all(jnp.isfinite(p)))
+        for p in jax.tree_util.tree_leaves(new_params)
+    )
