@@ -112,6 +112,13 @@ class Trainer(pydantic.BaseModel):
     # control); see ops.set_fusion_precision and PERFORMANCE.md bf16 study.
     fusion_precision: tp.Optional[str] = None
     fusion_backend: tp.Optional[str] = None
+    # Failure detection (SURVEY.md section 5: the reference has no in-run
+    # recovery): when the train loss goes non-finite, restore the last
+    # full-state checkpoint (or reinitialise if none exists yet) and keep
+    # training; abort with FloatingPointError after max_restores attempts
+    # so a deterministically diverging run fails loudly instead of looping.
+    nan_guard: bool = False
+    nan_guard_max_restores: int = 3
 
     model_config = pydantic.ConfigDict(extra="ignore")
 
@@ -266,6 +273,7 @@ class Trainer(pydantic.BaseModel):
             model, test_data_dict, "t", "test_graph_path_coeffs", "true_y", "true_y0"
         )
 
+        nan_restores = 0
         for epoch in range(start_epoch, self.epochs):
             start_time = time.time()
             train_loss, model, opt_state, max_grad, max_update = step(
@@ -273,6 +281,41 @@ class Trainer(pydantic.BaseModel):
             )
             train_loss.block_until_ready()
             end_time = time.time()
+
+            if self.nan_guard and not np.isfinite(float(train_loss)):
+                nan_restores += 1
+                metric_logger.log({"nan_restores": nan_restores})
+                if nan_restores > self.nan_guard_max_restores:
+                    raise FloatingPointError(
+                        f"train loss non-finite at epoch {epoch} after "
+                        f"{nan_restores - 1} checkpoint restores -- the run "
+                        f"diverges deterministically; lower the LR or tighten "
+                        f"gradient clipping"
+                    )
+                if state_ckptr is not None:
+                    state_ckptr.wait_until_finished()
+                restored = checkpoints.load_state(
+                    resume_dir,
+                    checkpoints.TrainState(model, opt_state, 0, float("inf")),
+                ) if state_ckptr is not None else None
+                if restored is not None:
+                    model, opt_state = restored.model, restored.opt_state
+                    logger.warning(
+                        "Non-finite train loss at epoch %d; restored the "
+                        "best-state checkpoint from epoch %d (restore %d/%d)",
+                        epoch, restored.epoch, nan_restores,
+                        self.nan_guard_max_restores,
+                    )
+                else:
+                    model = self.model.build(model_key)
+                    params, _ = partition(model, is_inexact_array)
+                    opt_state = optimiser.init(params)
+                    logger.warning(
+                        "Non-finite train loss at epoch %d with no checkpoint "
+                        "yet; reinitialised model/optimiser (restore %d/%d)",
+                        epoch, nan_restores, self.nan_guard_max_restores,
+                    )
+                continue
 
             metric_logger.log(
                 {

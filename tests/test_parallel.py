@@ -284,10 +284,13 @@ def test_ell_halo_width():
     assert ell_halo_width(ell.indices, n, G) == 3
 
 
-@pytest.mark.parametrize("directed", [False, True])
-def test_sharded_sparse_fused_apply_halo_matches_dense(directed):
+@pytest.mark.parametrize("directed,band,want_halo", [
+    (False, 7, 1), (True, 7, 1), (False, 14, 2),
+])
+def test_sharded_sparse_fused_apply_halo_matches_dense(directed, band, want_halo):
     """ppermute neighbour-ring halo exchange == dense oracle on a banded
-    graph (halo computed from the index pattern, here 1 neighbour shard)."""
+    graph (halo computed from the index pattern; the band=14 case runs two
+    rings each way, covering the multi-ring wraparound at shards 0/G-1)."""
     try:  # jax >= 0.8
         from jax import shard_map
     except ImportError:  # pragma: no cover
@@ -301,7 +304,7 @@ def test_sharded_sparse_fused_apply_halo_matches_dense(directed):
     nterms = 11 if directed else 8
     mesh = make_mesh(8, graph_axis=8)
     rng = np.random.default_rng(5)
-    mask = _banded_mask(n, 7) & (rng.random((n, n)) < 0.7)
+    mask = _banded_mask(n, band) & (rng.random((n, n)) < 0.7)
     np.fill_diagonal(mask, rng.random(n) < 0.5)
     K = int(mask.sum(axis=1).max())
     A = np.where(mask, rng.normal(size=(n, n)), 0.0).astype(np.float32)
@@ -315,7 +318,7 @@ def test_sharded_sparse_fused_apply_halo_matches_dense(directed):
     indices, valsA = _ell_parts(A, K)
     _, valsdA = _ell_parts(dA, K)
     halo = ell_halo_width(indices, n, G)
-    assert halo == 1  # the band wraps shard boundaries by one neighbour
+    assert halo == want_halo  # the band wraps shard boundaries circularly
 
     def local(idx_loc, vA_loc, vdA_loc, M_loc):
         return sharded_sparse_fused_apply(

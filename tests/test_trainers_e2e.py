@@ -256,3 +256,95 @@ def test_dyn_trainer_resume(tmp_path):
     logging.getLogger("test-resume").addHandler(Grab())
     Trainer(**base, epochs=3, resume=True).run()
     assert any("Resumed from epoch" in m for m in records)
+
+
+def _tiny_dyn_cfg(tmp_path, **overrides):
+    cfg = dict(
+        model=dict(
+            name="graph_neural_cde",
+            hidden_dim=4,
+            interpolation="cubic",
+            method="Tsit5",
+            return_sequence=True,
+            max_steps=64,
+            vector_field=dict(
+                name="PermEquivGraphVectorField", hidden_dim=4, num_layers=2,
+                use_control=False,
+            ),
+        ),
+        dataset=dict(
+            name="heat", batch_size=2, num_nodes=9, dynamic_graph=True,
+            all_dynamic=True, graph_type="grid", final_time=1.0, time_tick=10,
+            sampling_type="irregular", method="Tsit5", dt0=0.05,
+            interpolation="cubic", cache_dir=str(tmp_path / "cache"),
+        ),
+        optimiser=dict(
+            name="adamw", weight_decay=1e-4, gradient_clipping=True,
+            schedule=dict(name="constant_schedule", value=1e-2),
+        ),
+        loss=dict(name="MSE"),
+        epochs=4, eval_freq=1, log_freq=1, min_epochs=0,
+        checkpoint_dir=str(tmp_path / "ckpt"), checkpoint_name="t",
+        logger_name="test-nan-guard",
+        wandb=dict(project="test", mode="disabled"),
+    )
+    cfg.update(overrides)
+    return cfg
+
+
+def _poison_step_fn(monkeypatch, poison_calls):
+    """Wrap the real train step so selected calls return a NaN loss AND a
+    NaN-poisoned model -- recovery only succeeds if the guard actually
+    replaces the state, not just the logged loss."""
+    import jax
+    import jax.numpy as jnp
+    from gncde_tpu.train import trainer as trainer_mod
+
+    real_make = trainer_mod.make_step_fn
+    counter = {"i": -1}
+
+    def make_poisoned(optimiser, loss):
+        real = real_make(optimiser, loss)
+
+        def step(model, opt_state, data_i):
+            counter["i"] += 1
+            loss_val, model, opt_state, mg, mu = real(model, opt_state, data_i)
+            if counter["i"] in poison_calls:
+                loss_val = jnp.asarray(jnp.nan, dtype=jnp.float32)
+                model = jax.tree_util.tree_map(
+                    lambda x: x * jnp.nan
+                    if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.inexact)
+                    else x,
+                    model,
+                )
+            return loss_val, model, opt_state, mg, mu
+
+        return step
+
+    monkeypatch.setattr(trainer_mod, "make_step_fn", make_poisoned)
+    return counter
+
+
+def test_nan_guard_restores_from_checkpoint(tmp_path, monkeypatch):
+    """A transient non-finite step (NaN loss + NaN params) is detected and
+    the last best-state checkpoint restored; training completes with finite
+    metrics."""
+    from gncde_tpu.train.trainer import Trainer
+
+    _poison_step_fn(monkeypatch, poison_calls={1})
+    cfg = _tiny_dyn_cfg(tmp_path, nan_guard=True)
+    summary = Trainer(**cfg).run()
+    assert np.isfinite(summary["validation_loss"])
+
+
+def test_nan_guard_raises_after_max_restores(tmp_path, monkeypatch):
+    """A deterministically diverging run (every step NaN, so no checkpoint
+    ever exists -> reinitialise branch) fails loudly after max_restores."""
+    from gncde_tpu.train.trainer import Trainer
+
+    _poison_step_fn(monkeypatch, poison_calls=set(range(100)))
+    cfg = _tiny_dyn_cfg(
+        tmp_path, epochs=10, nan_guard=True, nan_guard_max_restores=2
+    )
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        Trainer(**cfg).run()
