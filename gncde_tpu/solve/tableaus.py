@@ -224,6 +224,97 @@ KENCARP4 = ButcherTableau(
 )
 
 
+# Genuine order-4 and order-5 ESDIRK tableaus in the Kvaerno (2004) design
+# class, DERIVED FROM SCRATCH by tools/derive_esdirk.py (not transcribed):
+# explicit first stage, stage order 2, stiffly accurate, L-stable, with the
+# penultimate stage doubling as the embedded lower-order solution
+# (b_hat = A[s-2]).  gamma for the 4(3) is the L-stability root of
+# g^4 - 4g^3 + 3g^2 - (2/3)g + 1/24 (the z^4 coefficient of (1-gz)^4 e^z);
+# given gamma the whole 4(3) tableau reduces to the unique root
+# c3 = 0.59710... of the last order-4 condition b.Ac^2 = 1/12 -- every other
+# entry is a linear solve.  The 5(4) uses the classical gamma = 0.26 with
+# (c3, c4) chosen by an error-constant sweep and R(inf) = -(A22^{-1} a1)_s
+# zeroed exactly.  All coefficients were polished with mpmath at 50 digits;
+# tests/test_solve.py re-verifies every order condition through design
+# order, embedded order, A- and L-stability, so a transcription error here
+# cannot pass silently.  Serves the reference's Kvaerno4/Kvaerno5 method
+# names (reference: src/models/graph_neural_cde.py:53).
+KVAERNO4 = ButcherTableau(
+    name="kvaerno4",
+    c=(0.0, 1.1456321249642698, 0.5971049876523115, 1.0, 1.0),
+    a=(
+        (),
+        (0.5728160624821349,),
+        (0.16723546202721076, -0.14294653685703412),
+        (0.2626032902526958, -0.3119043274205632, 0.4764849746857325),
+        (0.197216548312835, 0.17684378390637218, 0.8154421813508385, -0.7623185760521805),
+    ),
+    b=(0.197216548312835, 0.17684378390637218, 0.8154421813508385, -0.7623185760521805, 0.5728160624821349),
+    b_err=(
+        -0.0653867419398608,
+        0.48874811132693535,
+        0.338957206665106,
+        -1.3351346385343152,
+        0.5728160624821349,
+    ),
+    order=4,
+    error_order=4,
+    fsal=True,
+    implicit=True,
+    a_diag=0.5728160624821349,
+)
+
+KVAERNO5 = ButcherTableau(
+    name="kvaerno5",
+    c=(0.0, 0.52, 0.85, 0.41000000000000003, 0.9616978618695052, 1.0, 1.0),
+    a=(
+        (),
+        (0.26,),
+        (0.3202884615384615, 0.26971153846153845),
+        (0.17877874734663185, -0.0057937431655668515, -0.02298500418106498),
+        (0.09228493069653343, 0.36755441946224615, -0.17704623464919977, 0.4189047463599254),
+        (
+            0.21574750358511677,
+            1.610914170036982,
+            -0.592216133545259,
+            -0.6909861178458204,
+            0.19654057776898062,
+        ),
+        (
+            0.1224820370381446,
+            -0.21145565388043613,
+            0.1845619848152068,
+            0.7315814663815129,
+            0.5143136884415144,
+            -0.6014835227959426,
+        ),
+    ),
+    b=(
+        0.1224820370381446,
+        -0.21145565388043613,
+        0.1845619848152068,
+        0.7315814663815129,
+        0.5143136884415144,
+        -0.6014835227959426,
+        0.26,
+    ),
+    b_err=(
+        -0.09326546654697217,
+        -1.8223698239174182,
+        0.7767781183604658,
+        1.4225675842273333,
+        0.3177731106725338,
+        -0.8614835227959426,
+        0.26,
+    ),
+    order=5,
+    error_order=5,
+    fsal=True,
+    implicit=True,
+    a_diag=0.26,
+)
+
+
 def _build_dopri8() -> ButcherTableau:
     """Prince-Dormand 8(5,3) ("DOP853") from scipy's published coefficient
     arrays (scipy.integrate._ivp.dop853_coefficients) -- 12 propagating
@@ -278,11 +369,10 @@ _TABLEAUS: tp.Dict[str, ButcherTableau] = {
     "Kvaerno3Picard": KVAERNO3_PICARD,
     "kencarp4": KENCARP4,
     "KenCarp4": KENCARP4,
-    # Kvaerno 4/5 route to the order-4 L-stable ESDIRK (KenCarp4): same
-    # method class (Newton-solved ESDIRK), same order as Kvaerno4; Kvaerno5
-    # is served at order 4 (no shipped reference config uses either).
-    "Kvaerno4": KENCARP4,
-    "Kvaerno5": KENCARP4,
+    "kvaerno4": KVAERNO4,
+    "Kvaerno4": KVAERNO4,
+    "kvaerno5": KVAERNO5,
+    "Kvaerno5": KVAERNO5,
     "dopri8": DOPRI8,
     "Dopri8": DOPRI8,
 }

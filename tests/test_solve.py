@@ -312,8 +312,115 @@ def test_kencarp4_stiff_decay_accuracy():
     assert int(sol.stats["num_accepted_steps"]) < 200
 
 
-def test_kvaerno5_alias_resolves_to_order4():
+def _check_tree_conditions(A, b, c, order, atol):
+    """All rooted-tree order conditions through ``order`` (HNW II,
+    table 3.1 enumeration through order 5)."""
+    Ac = A @ c
+    conds = [(b @ np.ones_like(c), 1.0)]
+    if order >= 2:
+        conds.append((b @ c, 1 / 2))
+    if order >= 3:
+        conds += [(b @ c**2, 1 / 3), (b @ Ac, 1 / 6)]
+    if order >= 4:
+        conds += [
+            (b @ c**3, 1 / 4),
+            (b @ (c * Ac), 1 / 8),
+            (b @ (A @ c**2), 1 / 12),
+            (b @ (A @ Ac), 1 / 24),
+        ]
+    if order >= 5:
+        conds += [
+            (b @ c**4, 1 / 5),
+            (b @ (c**2 * Ac), 1 / 10),
+            (b @ (Ac * Ac), 1 / 20),
+            (b @ (c * (A @ c**2)), 1 / 15),
+            (b @ (c * (A @ Ac)), 1 / 30),
+            (b @ (A @ c**3), 1 / 20),
+            (b @ (A @ (c * Ac)), 1 / 40),
+            (b @ (A @ (A @ c**2)), 1 / 60),
+            (b @ (A @ (A @ Ac)), 1 / 120),
+        ]
+    for got, want in conds:
+        np.testing.assert_allclose(got, want, atol=atol)
+
+
+@pytest.mark.parametrize("name,order", [("Kvaerno4", 4), ("Kvaerno5", 5)])
+def test_kvaerno45_order_conditions(name, order):
+    """The derived Kvaerno-class ESDIRKs (tools/derive_esdirk.py) satisfy
+    every rooted-tree condition through their design order, the embedded
+    weights through order-1 (and provably NOT the design order), stiff
+    accuracy, A-stability on the imaginary axis, and exact L-stability."""
     from gncde_tpu.solve.tableaus import get_tableau
 
-    assert get_tableau("Kvaerno4").order == 4
-    assert get_tableau("Kvaerno5").order == 4
+    tab = get_tableau(name)
+    assert tab.order == order and tab.implicit
+    A = _full_A(tab)
+    b = np.asarray(tab.b)
+    c = np.asarray(tab.c)
+    np.testing.assert_allclose(A.sum(1), c, atol=1e-12)
+    _check_tree_conditions(A, b, c, order, atol=1e-12)
+    # Stiffly accurate; first stage explicit; constant implicit diagonal.
+    np.testing.assert_allclose(A[-1], b, atol=1e-14)
+    assert A[0, 0] == 0.0
+    np.testing.assert_allclose(np.diag(A)[1:], tab.a_diag, atol=1e-14)
+    # Embedded = the penultimate stage's own (stiffly-accurate) solution.
+    bh = b - np.asarray(tab.b_err)
+    np.testing.assert_allclose(bh[: len(c) - 2], A[-2, : len(c) - 2], atol=1e-12)
+    _check_tree_conditions(A, bh, c, order - 1, atol=1e-10)
+    assert abs(bh @ c ** (order - 1) - 1 / order) > 1e-3  # not design order
+    # A-stability (|R(iy)| <= 1) and L-stability (R -> 0 along -inf).
+    s = len(c)
+    one = np.ones(s)
+    for y in np.logspace(-2, 6, 60):
+        R = 1 + 1j * y * (b @ np.linalg.solve(np.eye(s) - 1j * y * A, one))
+        assert abs(R) <= 1 + 1e-9, (y, abs(R))
+    # L-stability, exactly: for a stiffly-accurate ESDIRK with explicit
+    # first stage, R(inf) = -(A22^{-1} a1)_s (tools/derive_esdirk.py
+    # derivation, validated there against KenCarp4).  Also check the 1/z
+    # decay at moderate z where f64 roundoff doesn't floor the solve
+    # (at z=-1e9 the resolvent solve itself carries ~1e-7 noise).
+    r_inf = -np.linalg.solve(A[1:, 1:], A[1:, 0])[-1]
+    assert abs(r_inf) < 1e-12, r_inf
+    for z in (-1e3, -1e6):
+        R = 1 + z * (b @ np.linalg.solve(np.eye(s) - z * A, one))
+        assert abs(R) < 100 / abs(z), (z, R)
+
+
+@pytest.mark.parametrize("name,order,hs", [("Kvaerno4", 4, (0.1, 0.05)), ("Kvaerno5", 5, (0.2, 0.1))])
+def test_kvaerno45_convergence_order(name, order, hs):
+    """Fixed-step observed convergence matches the design order (f64)."""
+    jax.config.update("jax_enable_x64", True)
+    try:
+        term = ODETerm(lambda t, y, args: y * jnp.cos(t))
+        t1 = 2.0
+        exact = float(np.exp(np.sin(t1)))
+        errs = []
+        for h in hs:
+            sol = diffeqsolve(
+                term, name, 0.0, t1, h, jnp.ones((1,), jnp.float64),
+                stepsize_controller=ConstantStepSize(),
+                max_steps=int(t1 / h) + 1,
+            )
+            errs.append(abs(float(sol.ys[0]) - exact))
+        observed = np.log2(errs[0] / max(errs[1], 1e-18))
+        assert observed > order - 0.5, (errs, observed)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_kvaerno5_stiff_decay_accuracy():
+    """Adaptive Kvaerno5 on the lam=-2000 relaxation problem: L-stability +
+    Newton stages solve it accurately in few steps."""
+    lam = -2000.0
+    term = ODETerm(lambda t, y, args: lam * (y - jnp.cos(t)) - jnp.sin(t))
+    ts = jnp.linspace(0.0, 1.0, 5)
+    sol = diffeqsolve(
+        term, "Kvaerno5", 0.0, 1.0, None, jnp.ones((1,)),
+        saveat=SaveAt(ts=ts), max_steps=512,
+        stepsize_controller=PIDController(1e-5, 1e-8),
+    )
+    assert bool(sol.success)
+    np.testing.assert_allclose(
+        np.asarray(sol.ys[1:, 0]), np.cos(np.asarray(ts[1:])), atol=2e-3
+    )
+    assert int(sol.stats["num_accepted_steps"]) < 200
