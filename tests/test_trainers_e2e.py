@@ -89,6 +89,53 @@ def test_pgt_trainer_e2e(tmp_path):
     assert np.isfinite(summary["best_selection"])
 
 
+def test_pgt_twitter_trainer_e2e(tmp_path, monkeypatch):
+    """twitter-tennis pipeline end-to-end on a reduced-scale surrogate
+    pickle (tools/make_twitter_surrogate.py): 16-dim encoded features,
+    weighted mention edges, next-step popularity regression — the same
+    schema as the real pickle, loaded through the standard search path."""
+    import pickle
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from make_twitter_surrogate import make_twitter_surrogate
+
+    from gncde_tpu.train.windowed import PGTTrainer
+
+    snaps = make_twitter_surrogate(num_nodes=24, num_snapshots=30, num_players=4,
+                                   mean_edges=60, seed=3)
+    ddir = tmp_path / "data" / ".datasets"
+    ddir.mkdir(parents=True)
+    with open(ddir / "twitter_dataset.pkl", "wb") as f:
+        pickle.dump(snaps, f)
+    monkeypatch.setenv("GNCDE_DATA_DIR", str(tmp_path / "data"))
+
+    cfg = dict(
+        model=dict(
+            name="pgt_graph_neural_cde", hidden_dim=4, data_dim=16,
+            feature_dim=1, interpolation="cubic", method="Tsit5",
+            return_sequence=False,
+            vector_field=dict(
+                name="PermEquivGraphVectorField", hidden_dim=4, num_layers=2,
+                data_embed_dim=16, num_nodes=24,
+            ),
+        ),
+        dataset=dict(
+            name="twitter-tennis", window_size=10, stride=10,
+            interpolation="cubic", cache_dir=str(tmp_path / "cache"),
+        ),
+        optimiser=dict(
+            name="adamw", weight_decay=1e-4, gradient_clipping=True,
+            schedule=dict(name="constant_schedule", value=1e-3),
+        ),
+        epochs=1, eval_freq=1, log_freq=1, min_epochs=0,
+        checkpoint_dir=str(tmp_path / "ckpt"), logger_name="test-twitter",
+        wandb=dict(project="test", mode="disabled"),
+    )
+    summary = PGTTrainer(**cfg).run()
+    assert np.isfinite(summary["best_selection"])
+
+
 def test_tgb_trainer_e2e(tmp_path, monkeypatch):
     from gncde_tpu.train.windowed import TGBTrainer
 
