@@ -207,14 +207,21 @@ def train_step_time(vf, ts, coeffs, y0):
     return (time.perf_counter() - t0) / reps
 
 
-def scaled_n_edges_per_s(n=2048, B=2, evals=20):
-    """vf-eval throughput at n=2048 (above MEGAKERNEL_MAX_N: exercises the
-    XLA dense-bf16 fallback regime where the MXU, not HBM, binds)."""
+def scaled_n_edges_per_s(n=2048, B=2, evals=20, directed=False):
+    """vf-eval throughput above MEGAKERNEL_MAX_N: exercises the tiled Pallas
+    grid kernel (ops/pallas/tiled.py) through the production dispatch, with
+    the per-trajectory reduction cache a real solve would carry. n=2048 is
+    the scaling stress point; (n=1505, directed) matches the reference's
+    largest graph, tgbn-genre (configs/tgb/genre/st_gncde_config.yaml)."""
+    from gncde_tpu.models.vector_fields import PermEquivDirGraphVectorField
+    from gncde_tpu.ops.pallas import tiled
+
     key = jr.PRNGKey(1)
     k_vf, k_A, k_y = jr.split(key, 3)
-    vf = PermEquivGraphVectorField(
+    cls = PermEquivDirGraphVectorField if directed else PermEquivGraphVectorField
+    vf = cls(
         input_dim=HIDDEN, hidden_dim=HIDDEN, output_dim=HIDDEN,
-        num_layers=LAYERS, data_embed_dim=1, num_nodes=n, key=k_vf,
+        num_layers=LAYERS, data_embed_dim=1, num_nodes=n, idx_dim=4, key=k_vf,
     )
     ts = jnp.linspace(0.0, 1.0, 6)
     A_path = jr.uniform(k_A, (B, 6, n, n)) * 0.1
@@ -227,7 +234,10 @@ def scaled_n_edges_per_s(n=2048, B=2, evals=20):
     eval_ts = jnp.linspace(0.01, 0.99, evals)
 
     def one(coeffs_i, y0_i):
-        ctrl = MatrixControl(CubicInterpolation(ts, coeffs_i))
+        ctrl = MatrixControl(
+            CubicInterpolation(ts, coeffs_i),
+            red=tiled.cubic_plane_reductions(coeffs_i),
+        )
 
         def body(y, t):
             return y + 1e-3 * vf(t, y, ctrl), None
@@ -244,7 +254,17 @@ def scaled_n_edges_per_s(n=2048, B=2, evals=20):
         out = run(coeffs, y0)
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / reps
-    return n * n * B * LAYERS * evals / dt
+    return n * n * B * LAYERS * evals / dt, dt / (B * evals)
+
+
+# v5e HBM bandwidth (speed-of-light reference for the roofline fractions;
+# the vf-eval workload is bandwidth-bound, BASELINE.md).
+HBM_BW = 819e9
+
+
+def roofline_frac(bytes_per_eval: float, secs_per_eval: float) -> float:
+    """Fraction of the HBM roofline the measured path sustains."""
+    return (bytes_per_eval / secs_per_eval) / HBM_BW
 
 
 def main():

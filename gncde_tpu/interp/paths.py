@@ -95,7 +95,26 @@ def backward_hermite_coefficients(
     tdiff = ts[1:] - ts[:-1]
     tshape = (-1,) + (1,) * (ys.ndim - 1)
     h = tdiff.reshape(tshape)
-    slope = (ys[1:] - ys[:-1]) / h  # (T-1, ...)
+    # Zero-length intervals (repeated knots -- produced by pad-to-max window
+    # batching, train/windowed.py:pad_windows) inherit the PREVIOUS
+    # interval's slope: the padded path extends with the end value and the
+    # end derivative, so an evaluation exactly at the (unchanged) final time
+    # sees the same (value, derivative) as the unpadded path -- solver
+    # trajectories are bit-equivalent under padding.
+    safe_h = jnp.where(h == 0, 1.0, h)
+    raw_slope = (ys[1:] - ys[:-1]) / safe_h  # (T-1, ...)
+    valid = jnp.broadcast_to(h != 0, raw_slope.shape)
+
+    def _ffill(carry, x):
+        s, ok = x
+        out = jnp.where(ok, s, carry)
+        return out, out
+
+    _, slope = jax.lax.scan(
+        _ffill, jnp.zeros_like(raw_slope[0]),
+        (jnp.where(valid, raw_slope, 0.0), valid),
+    )
+    h = safe_h
     # Knot derivatives: f[i] = slope[i-1] (backward difference), f[0] = slope[0].
     f = jnp.concatenate([slope[:1], slope], axis=0)  # (T, ...)
     f0 = f[:-1]
@@ -131,18 +150,33 @@ class LinearInterpolation(Module):
     def t1(self):
         return self.ts[-1]
 
-    def evaluate(self, t: jax.Array) -> jax.Array:
+    def _interval(self, t: jax.Array) -> jax.Array:
+        """Interval index, stepping back over zero-length (repeated-knot)
+        padding intervals so evaluations at the padded end reproduce the
+        unpadded path's (value, derivative) exactly
+        (train/windowed.py:pad_windows)."""
         i = _interval_index(self.ts, t)
+        degenerate = self.ts[i + 1] == self.ts[i]
+        i_back = _interval_index(
+            self.ts, jnp.nextafter(self.ts[i], self.ts[i] - 1.0)
+        )
+        return jnp.where(degenerate, i_back, i)
+
+    def evaluate(self, t: jax.Array) -> jax.Array:
+        i = self._interval(t)
         t0 = self.ts[i]
         t1 = self.ts[i + 1]
-        w = (t - t0) / (t1 - t0)
+        h = jnp.where(t1 == t0, 1.0, t1 - t0)  # all-equal-knot degenerate path
+        w = jnp.where(t1 == t0, 0.0, (t - t0) / h)
         return self.ys[i] + w * (self.ys[i + 1] - self.ys[i])
 
     def derivative(self, t: jax.Array) -> jax.Array:
-        i = _interval_index(self.ts, t)
+        i = self._interval(t)
         t0 = self.ts[i]
         t1 = self.ts[i + 1]
-        return (self.ys[i + 1] - self.ys[i]) / (t1 - t0)
+        h = jnp.where(t1 == t0, 1.0, t1 - t0)
+        scale = jnp.where(t1 == t0, 0.0, 1.0 / h)
+        return (self.ys[i + 1] - self.ys[i]) * scale
 
 
 class MatrixControl(Module):
@@ -157,13 +191,21 @@ class MatrixControl(Module):
     bottleneck is coefficient reads (SURVEY.md section 3.5).
 
     Duck-typed: vector fields probe for ``adj``/``dadj``/``tgrad_is_unit``.
+
+    ``red`` optionally caches per-plane reduced stacks
+    (:class:`gncde_tpu.ops.pallas.tiled.PlaneReductions`) so the tiled
+    large-n kernel gets its O(n) row/col/diag sums without re-reading the
+    full planes each vf eval; populated by ``models.continuous.make_control``
+    for graphs above the whole-VMEM megakernel cap.
     """
 
     path: Module
+    red: tp.Optional[tuple]
     tgrad_is_unit: bool = static_field()
 
-    def __init__(self, path):
+    def __init__(self, path, red=None):
         self.path = path
+        self.red = red
         self.tgrad_is_unit = True
 
     @classmethod

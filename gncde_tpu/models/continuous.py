@@ -54,6 +54,22 @@ def make_control(interpolation: str, ts: jax.Array, coeffs, slim: bool = False):
                 ctrl = MatrixControl(
                     LinearInterpolation(path.ts, path.ys.astype(jnp.bfloat16))
                 )
+        if (
+            ops_config.get_fusion_backend() == "megakernel"
+            and isinstance(ctrl.path, CubicInterpolation)
+        ):
+            from ..ops.pallas import megakernel as _mk
+            from ..ops.pallas import tiled as _tiled
+
+            n = ctrl.path.coeffs[0].shape[-1]
+            if _mk.MEGAKERNEL_MAX_N < n <= _tiled.TILED_MAX_N:
+                # Large-n tiled-kernel path: precompute the per-plane
+                # row/col/diag reduced stacks ONCE per trajectory so each vf
+                # eval's rank-structured terms are O(n), not O(n^2) reads.
+                ctrl = MatrixControl(
+                    ctrl.path,
+                    red=_tiled.cubic_plane_reductions(ctrl.path.coeffs),
+                )
         return ctrl
     if interpolation == "linear":
         return LinearInterpolation(ts, coeffs)

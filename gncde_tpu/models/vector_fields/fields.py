@@ -160,15 +160,24 @@ class PermEquivGraphVectorField(Module):
             and getattr(control_adj, "tgrad_is_unit", False)
             and type(control_adj.path).__name__ == "CubicInterpolation"
         ):
-            from ...ops.pallas.megakernel import MEGAKERNEL_MAX_N, megakernel_vf_eval
+            from ...ops.pallas import megakernel as _mk
+            from ...ops.pallas import tiled as _tiled
 
-            if node_features.shape[0] <= MEGAKERNEL_MAX_N:
-                path = control_adj.path
-                return megakernel_vf_eval(
+            n = node_features.shape[0]
+            path = control_adj.path
+            if n <= _mk.MEGAKERNEL_MAX_N:
+                return _mk.megakernel_vf_eval(
                     tuple(path.coeffs), path.ts, t, node_features, self
                 )
-            # Graph too large for the whole-VMEM kernel: the layer dispatch
-            # below falls back to the XLA dense path.
+            if n <= _tiled.TILED_MAX_N:
+                # Whole-VMEM kernel doesn't fit: tiled grid kernel (serves
+                # twitter n=1000, tgbn-genre n=1505, and beyond).
+                return _tiled.tiled_vf_eval(
+                    tuple(path.coeffs), path.ts, t, node_features, self,
+                    red=getattr(control_adj, "red", None),
+                )
+            # Beyond the tiled cap: the layer dispatch below falls back to
+            # the XLA dense path (or sparse, by control type).
 
         adj, adj_derivative, tgrad = control_terms(control_adj, t)
         if self.enc_idx:
@@ -246,12 +255,22 @@ class PermEquivDirGraphVectorField(Module):
             and getattr(control_adj, "tgrad_is_unit", False)
             and type(control_adj.path).__name__ == "CubicInterpolation"
         ):
-            from ...ops.pallas.megakernel import MEGAKERNEL_MAX_N, megakernel_vf_eval
+            from ...ops.pallas import megakernel as _mk
+            from ...ops.pallas import tiled as _tiled
 
-            if node_features.shape[0] <= MEGAKERNEL_MAX_N:
-                path = control_adj.path
-                return megakernel_vf_eval(
+            n = node_features.shape[0]
+            path = control_adj.path
+            if n <= _mk.MEGAKERNEL_MAX_N:
+                return _mk.megakernel_vf_eval(
                     tuple(path.coeffs), path.ts, t, node_features, self
+                )
+            if n <= _tiled.TILED_MAX_N:
+                # Directed 11-term basis shares the same tiled kernel: the
+                # extra primed terms are all rank-structured (column sums),
+                # handled in the O(n) XLA glue of tiled_vf_eval.
+                return _tiled.tiled_vf_eval(
+                    tuple(path.coeffs), path.ts, t, node_features, self,
+                    red=getattr(control_adj, "red", None),
                 )
 
         adj, adj_derivative, tgrad = control_terms(control_adj, t)

@@ -1,0 +1,668 @@
+"""Tiled Pallas kernel for the fused equivariant operator at scaled n.
+
+Serves the regime above :data:`~gncde_tpu.ops.pallas.megakernel.MEGAKERNEL_MAX_N`
+(whole-VMEM kernel), i.e. the reference's largest graphs -- twitter n=1000
+(configs/pgt/twitter/perm_equiv_gncde_config.yaml), tgbn-genre n=1505
+(configs/tgb/genre/st_gncde_config.yaml:30-35) -- and anything bigger, with
+no upper bound beyond one chip's HBM (see :data:`TILED_MAX_N`).
+
+The hot computation (reference src/models/vector_fields/layers.py:45-48 with
+the fused operator of layers.py:102-160/256-345) decomposes as
+
+    A_bar @ M = B1 @ M + B2^T @ M + O(n*H) rank-structured terms
+    B1 = c_r0 A(t) + c_r1 dA(t),   B2 = c_c0 A(t) + c_c1 dA(t)
+
+and A(t), dA(t) are *linear in the four Hermite coefficient planes*
+(d, c, b, a), so
+
+    B1 = w_r . (d, c, b, a),    w_r = c_r0 * wA(tau) + c_r1 * wdA(tau)
+    wA(tau) = (tau^3, tau^2, tau, 1),   wdA(tau) = (3 tau^2, 2 tau, 1, 0).
+
+The kernel therefore never materialises A(t)/dA(t) (in HBM *or* as separate
+VMEM temporaries): each grid step loads one (TM, TK) tile of each bf16
+coefficient plane, forms B1/B2 tiles with four fused multiply-adds each, and
+feeds the MXU. One sweep of the planes serves BOTH matmuls:
+
+    tile (i, k):  rowpart[i] += B1[i,k] @ M[k]        (blocked accumulator)
+                  colpart[k] += B2[i,k]^T @ M[i]      (VMEM-resident (NP,H))
+
+HBM traffic per layer eval = one bf16 read of the 4 interval planes
+(8 n^2 bytes) -- the information-theoretic floor for this operator.
+
+The O(n) reduction data the rank-structured terms need (row/col/diag sums of
+A and dA) is NOT computed here: sums of A(t) are the same Hermite combination
+of per-plane sums, so :func:`cubic_plane_reductions` precomputes reduced
+stacks ONCE per trajectory (cached on ``interp.MatrixControl.red``) and
+:func:`reductions_at` evaluates them in O(n) per vf eval.
+
+Batching: `jax.vmap` of a gridded ``pallas_call`` prepends a batch grid
+dimension and (verified on jax 0.9) remaps ``pl.program_id`` to the original
+axes, so the loss-level batch vmap is efficient -- no unrolling, no
+scalar-prefetch (the round-2 megakernel regression; see megakernel.py).
+
+Differentiation: :func:`tiled_abar_apply` carries a custom VJP --
+``dM`` reuses the SAME kernel with (w_row, w_col) swapped (transposing the
+operator swaps the row/col pair), and the 8 per-plane weight cotangents come
+from one :func:`_dw_call` sweep (fused SDDMM-style: per tile, ``G @ M^T`` /
+``M @ G^T`` on the MXU contracted against each plane tile). Coefficient
+planes are training DATA in every trainer; with ``symbolic_zeros`` their
+cotangents are statically skipped (no (T-1, n, n) zero-scatters per eval).
+Everything above the primitive (norm/linear/rank-1 terms) is plain JAX.
+"""
+
+from __future__ import annotations
+
+import functools
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_TILE = 256
+
+# colpart/dM accumulators are VMEM-resident (NP, H) f32; past this the
+# resident buffers stop fitting comfortably next to double-buffered plane
+# tiles. Graphs beyond it belong to the sparse/sharded path anyway.
+TILED_MAX_N = 32768
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def hermite_weights(tau):
+    """(wA, wdA): weights of A(t0+tau) and dA/dt over the (d, c, b, a) planes."""
+    one = jnp.ones_like(tau)
+    zero = jnp.zeros_like(tau)
+    wA = jnp.stack([tau * tau * tau, tau * tau, tau, one])
+    wdA = jnp.stack([3.0 * tau * tau, 2.0 * tau, one, zero])
+    return wA, wdA
+
+
+class PlaneReductions(tp.NamedTuple):
+    """Per-plane reduced stacks: sums of each Hermite plane over rows/cols/diag.
+
+    Each field is (T-1, n, 4) float32, last axis ordered like the coefficient
+    tuple (d, c, b, a). ``reductions_at`` turns these into the O(n) sums of
+    A(t), dA(t) by the same Hermite weights the kernel uses.
+    """
+
+    rs: jax.Array  # row sums:    rs[i, r, j] = sum_c plane_j[i, r, c]
+    cs: jax.Array  # column sums: cs[i, c, j] = sum_r plane_j[i, r, c]
+    dg: jax.Array  # diagonals:   dg[i, r, j] = plane_j[i, r, r]
+
+
+def cubic_plane_reductions(coeffs) -> PlaneReductions:
+    """Reduce the 4 (T-1, n, n) Hermite stacks once per trajectory (O(T n^2)
+    read, amortised over every vf eval of the solve)."""
+    rs = jnp.stack(
+        [jnp.sum(c.astype(jnp.float32), axis=-1) for c in coeffs], axis=-1
+    )
+    cs = jnp.stack(
+        [jnp.sum(c.astype(jnp.float32), axis=-2) for c in coeffs], axis=-1
+    )
+    dg = jnp.stack(
+        [
+            jnp.diagonal(c, axis1=-2, axis2=-1).astype(jnp.float32)
+            for c in coeffs
+        ],
+        axis=-1,
+    )
+    return PlaneReductions(rs, cs, dg)
+
+
+def reductions_from_slabs(slabs, wA, wdA):
+    """Fallback: O(n^2) reductions straight from the sliced interval planes
+    (used when the control carries no cached :class:`PlaneReductions`)."""
+    stack = jnp.stack([s.astype(jnp.float32) for s in slabs])  # (4, n, n)
+    A = jnp.einsum("p,pij->ij", wA, stack)
+    dA = jnp.einsum("p,pij->ij", wdA, stack)
+    return (
+        jnp.sum(A, axis=1), jnp.sum(dA, axis=1),
+        jnp.sum(A, axis=0), jnp.sum(dA, axis=0),
+        jnp.diagonal(A), jnp.diagonal(dA),
+    )
+
+
+def reductions_at(red: PlaneReductions, idx, wA, wdA):
+    """(rA, rdA, cA, cdA, diagA, diagdA) at interval ``idx`` -- O(n)."""
+    rs = jax.lax.dynamic_index_in_dim(red.rs, idx, axis=0, keepdims=False)
+    cs = jax.lax.dynamic_index_in_dim(red.cs, idx, axis=0, keepdims=False)
+    dg = jax.lax.dynamic_index_in_dim(red.dg, idx, axis=0, keepdims=False)
+    return (rs @ wA, rs @ wdA, cs @ wA, cs @ wdA, dg @ wA, dg @ wdA)
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(n, TM, TK, ragged,
+                wvec_ref, d_ref, c_ref, b_ref, a_ref, mk_ref, mi_ref,
+                row_ref, col_ref):
+    ii = pl.program_id(0)
+    kk = pl.program_id(1)
+
+    d = d_ref[:].astype(jnp.float32)
+    c = c_ref[:].astype(jnp.float32)
+    b = b_ref[:].astype(jnp.float32)
+    a = a_ref[:].astype(jnp.float32)
+    B1 = (wvec_ref[0, 0] * d + wvec_ref[0, 1] * c
+          + wvec_ref[0, 2] * b + wvec_ref[0, 3] * a)
+    B2 = (wvec_ref[0, 4] * d + wvec_ref[0, 5] * c
+          + wvec_ref[0, 6] * b + wvec_ref[0, 7] * a)
+    if ragged:
+        # Edge-overhang tiles read unspecified padding; zero it so the
+        # matmuls stay exact (M's padded rows are explicit zeros, but
+        # garbage may be non-finite and 0 * inf = nan).
+        rows_ok = (jax.lax.broadcasted_iota(jnp.int32, (TM, TK), 0)
+                   + ii * TM) < n
+        cols_ok = (jax.lax.broadcasted_iota(jnp.int32, (TM, TK), 1)
+                   + kk * TK) < n
+        valid = rows_ok & cols_ok
+        B1 = jnp.where(valid, B1, 0.0)
+        B2 = jnp.where(valid, B2, 0.0)
+    B1 = B1.astype(jnp.bfloat16)
+    B2 = B2.astype(jnp.bfloat16)
+
+    @pl.when(kk == 0)
+    def _():
+        row_ref[:] = jnp.zeros_like(row_ref)
+
+    row_ref[:] += jnp.dot(B1, mk_ref[:], preferred_element_type=jnp.float32)
+
+    @pl.when((ii == 0) & (kk == 0))
+    def _():
+        col_ref[:] = jnp.zeros_like(col_ref)
+
+    colc = jax.lax.dot_general(
+        B2, mi_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    col_ref[pl.ds(pl.multiple_of(kk * TK, TK), TK), :] += colc
+
+
+def _fwd_call(slabs, wvec, M, *, tile, interpret):
+    n = slabs[0].shape[0]
+    NP, H = M.shape
+    TM = TK = tile
+    I, K = _cdiv(n, TM), _cdiv(n, TK)
+    if NP != I * TM:
+        raise ValueError(
+            f"M rows {NP} != padded n {I * TM} (n={n}, tile={tile})")
+    ragged = (n % tile) != 0
+    kern = functools.partial(_fwd_kernel, n, TM, TK, ragged)
+    plane_spec = pl.BlockSpec((TM, TK), lambda i, k: (i, k),
+                              memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(I, K),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # wvec (1, 8)
+            plane_spec, plane_spec, plane_spec, plane_spec,  # d, c, b, a
+            pl.BlockSpec((TK, H), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, H), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TM, H), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NP, H), lambda i, k: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NP, H), jnp.float32),
+            jax.ShapeDtypeStruct((NP, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(wvec, *slabs, M, M)
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel: per-plane weight cotangents
+# ---------------------------------------------------------------------------
+
+
+def _dw_kernel(n, TM, TK, ragged, g_i_ref, m_k_ref, m_i_ref, g_k_ref,
+               d_ref, c_ref, b_ref, a_ref, dw_ref):
+    """Accumulate dw[j] = <plane_j, G M^T> (j < 4) and <plane_j, M G^T>
+    (j >= 4): ``d(out)/d(w_row[j]) = plane_j @ M`` gives
+    ``dw_row[j] = sum(plane_j * (G M^T))`` and the transpose pair likewise.
+    """
+    ii = pl.program_id(0)
+    kk = pl.program_id(1)
+
+    @pl.when((ii == 0) & (kk == 0))
+    def _():
+        dw_ref[0, :] = jnp.zeros_like(dw_ref[0, :])
+
+    # G/M are real zero-padded (NP, H) arrays, so P and Q are exact; only
+    # the plane tiles can overhang (n, n) with unspecified padding.
+    P = jnp.dot(g_i_ref[:], m_k_ref[:].T, preferred_element_type=jnp.float32)
+    Q = jnp.dot(m_i_ref[:], g_k_ref[:].T, preferred_element_type=jnp.float32)
+    if ragged:
+        rows_ok = (jax.lax.broadcasted_iota(jnp.int32, (TM, TK), 0)
+                   + ii * TM) < n
+        cols_ok = (jax.lax.broadcasted_iota(jnp.int32, (TM, TK), 1)
+                   + kk * TK) < n
+        valid = rows_ok & cols_ok
+    for j, ref in enumerate((d_ref, c_ref, b_ref, a_ref)):
+        plane = ref[:].astype(jnp.float32)
+        if ragged:
+            plane = jnp.where(valid, plane, 0.0)
+        dw_ref[0, j] += jnp.sum(plane * P)
+        dw_ref[0, 4 + j] += jnp.sum(plane * Q)
+
+
+def _dw_call(slabs, G, M, *, tile, interpret):
+    n = slabs[0].shape[0]
+    NP, H = M.shape
+    TM = TK = tile
+    I, K = _cdiv(n, TM), _cdiv(n, TK)
+    ragged = (n % tile) != 0
+    kern = functools.partial(_dw_kernel, n, TM, TK, ragged)
+    plane_spec = pl.BlockSpec((TM, TK), lambda i, k: (i, k),
+                              memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(I, K),
+        in_specs=[
+            pl.BlockSpec((TM, H), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TK, H), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, H), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TK, H), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+            plane_spec, plane_spec, plane_spec, plane_spec,
+        ],
+        out_specs=pl.BlockSpec((1, 8), lambda i, k: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 8), jnp.float32),
+        interpret=interpret,
+    )(G, M, M, G, *slabs)
+
+
+# ---------------------------------------------------------------------------
+# Two-plane forward kernel: reads materialised A(t), dA(t) tiles
+# ---------------------------------------------------------------------------
+
+
+def _fwd2_kernel(n, TM, TK, ragged,
+                 cvec_ref, A_ref, dA_ref, mk_ref, mi_ref, row_ref, col_ref):
+    ii = pl.program_id(0)
+    kk = pl.program_id(1)
+
+    A = A_ref[:]
+    dA = dA_ref[:]
+    cr0 = cvec_ref[0, 0].astype(A.dtype)
+    cr1 = cvec_ref[0, 1].astype(A.dtype)
+    cc0 = cvec_ref[0, 2].astype(A.dtype)
+    cc1 = cvec_ref[0, 3].astype(A.dtype)
+    B1 = cr0 * A + cr1 * dA
+    B2 = cc0 * A + cc1 * dA
+    if ragged:
+        rows_ok = (jax.lax.broadcasted_iota(jnp.int32, (TM, TK), 0)
+                   + ii * TM) < n
+        cols_ok = (jax.lax.broadcasted_iota(jnp.int32, (TM, TK), 1)
+                   + kk * TK) < n
+        valid = rows_ok & cols_ok
+        B1 = jnp.where(valid, B1, 0)
+        B2 = jnp.where(valid, B2, 0)
+
+    @pl.when(kk == 0)
+    def _():
+        row_ref[:] = jnp.zeros_like(row_ref)
+
+    row_ref[:] += jnp.dot(B1, mk_ref[:], preferred_element_type=jnp.float32)
+
+    @pl.when((ii == 0) & (kk == 0))
+    def _():
+        col_ref[:] = jnp.zeros_like(col_ref)
+
+    colc = jax.lax.dot_general(
+        B2, mi_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    col_ref[pl.ds(pl.multiple_of(kk * TK, TK), TK), :] += colc
+
+
+def _fwd2_call(A, dA, cvec, M, *, tile, interpret):
+    n = A.shape[0]
+    NP, H = M.shape
+    TM = TK = tile
+    I, K = _cdiv(n, TM), _cdiv(n, TK)
+    if NP != I * TM:
+        raise ValueError(
+            f"M rows {NP} != padded n {I * TM} (n={n}, tile={tile})")
+    ragged = (n % tile) != 0
+    kern = functools.partial(_fwd2_kernel, n, TM, TK, ragged)
+    plane_spec = pl.BlockSpec((TM, TK), lambda i, k: (i, k),
+                              memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(I, K),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # cvec (1, 4)
+            plane_spec, plane_spec,                 # A, dA
+            pl.BlockSpec((TK, H), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, H), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TM, H), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NP, H), lambda i, k: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NP, H), jnp.float32),
+            jax.ShapeDtypeStruct((NP, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(cvec, A, dA, M, M)
+
+
+def _dw2_kernel(n, TM, TK, ragged, g_i_ref, m_k_ref, m_i_ref, g_k_ref,
+                A_ref, dA_ref, dw_ref):
+    """dw[0:2] = <A|dA, G M^T>, dw[2:4] = <A|dA, M G^T> (two-plane variant)."""
+    ii = pl.program_id(0)
+    kk = pl.program_id(1)
+
+    @pl.when((ii == 0) & (kk == 0))
+    def _():
+        dw_ref[0, :] = jnp.zeros_like(dw_ref[0, :])
+
+    P = jnp.dot(g_i_ref[:], m_k_ref[:].T, preferred_element_type=jnp.float32)
+    Q = jnp.dot(m_i_ref[:], g_k_ref[:].T, preferred_element_type=jnp.float32)
+    if ragged:
+        rows_ok = (jax.lax.broadcasted_iota(jnp.int32, (TM, TK), 0)
+                   + ii * TM) < n
+        cols_ok = (jax.lax.broadcasted_iota(jnp.int32, (TM, TK), 1)
+                   + kk * TK) < n
+        valid = rows_ok & cols_ok
+    for j, ref in enumerate((A_ref, dA_ref)):
+        plane = ref[:].astype(jnp.float32)
+        if ragged:
+            plane = jnp.where(valid, plane, 0.0)
+        dw_ref[0, j] += jnp.sum(plane * P)
+        dw_ref[0, 2 + j] += jnp.sum(plane * Q)
+
+
+def _dw2_call(A, dA, G, M, *, tile, interpret):
+    n = A.shape[0]
+    NP, H = M.shape
+    TM = TK = tile
+    I, K = _cdiv(n, TM), _cdiv(n, TK)
+    ragged = (n % tile) != 0
+    kern = functools.partial(_dw2_kernel, n, TM, TK, ragged)
+    plane_spec = pl.BlockSpec((TM, TK), lambda i, k: (i, k),
+                              memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(I, K),
+        in_specs=[
+            pl.BlockSpec((TM, H), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TK, H), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, H), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TK, H), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+            plane_spec, plane_spec,
+        ],
+        out_specs=pl.BlockSpec((1, 4), lambda i, k: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 4), jnp.float32),
+        interpret=interpret,
+    )(G, M, M, G, A, dA)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def tiled_fused2(A, dA, slabs, wA, wdA, c_row, c_col, M, tile=DEFAULT_TILE):
+    """``B1 @ M + B2^T @ M`` with B1 = c_row.(A, dA), B2 = c_col.(A, dA).
+
+    The fast-path formulation of :func:`tiled_abar_apply`: ``A``/``dA`` are
+    the MATERIALISED bf16 interval planes (computed once per vf eval by XLA
+    from the Hermite stacks -- a gather-fused read of the 4 coefficient
+    planes), so each per-layer sweep reads 2 planes instead of 4 and forms
+    B1/B2 with two fused multiply-adds -- less than half the HBM traffic
+    and roughly a third of the VPU work of the 4-plane kernel.
+
+    Gradient contract: ``A``/``dA`` are REDUNDANT CACHE INPUTS -- pass them
+    as ``stop_gradient`` of ``wA.(slabs)`` / ``wdA.(slabs)``. The complete
+    derivative flows through (slabs, wA, wdA, c_row, c_col, M): the tau
+    chain rides the O(4) ``wA``/``wdA`` cotangents (never an (n, n)
+    cotangent), and slab cotangents are statically skipped unless perturbed.
+    """
+    cvec = jnp.concatenate([c_row, c_col]).reshape(1, 4).astype(jnp.float32)
+    rowpart, colpart = _fwd2_call(
+        A, dA, cvec, M.astype(jnp.bfloat16),
+        tile=tile, interpret=_should_interpret())
+    return rowpart + colpart
+
+
+def _tf2_fwd(A, dA, slabs, wA, wdA, c_row, c_col, M, tile):
+    if _perturbed(A) or _perturbed(dA):
+        raise ValueError(
+            "tiled_fused2: A/dA are cache inputs -- pass stop_gradient "
+            "planes; gradients flow through (slabs, wA, wdA, c_row, c_col)."
+        )
+    needs = (_perturbed(slabs), _perturbed(wA) or _perturbed(wdA),
+             _perturbed(c_row), _perturbed(c_col), _perturbed(M))
+    A_v, dA_v, slabs_v, wA_v, wdA_v, cr_v, cc_v, M_v = (
+        _unwrap(A), _unwrap(dA), _unwrap(slabs), _unwrap(wA), _unwrap(wdA),
+        _unwrap(c_row), _unwrap(c_col), _unwrap(M))
+    out = tiled_fused2(A_v, dA_v, slabs_v, wA_v, wdA_v, cr_v, cc_v, M_v, tile)
+    return out, (A_v, dA_v, slabs_v, wA_v, wdA_v, cr_v, cc_v, M_v, needs)
+
+
+def _tf2_bwd(tile, res, g):
+    (A, dA, slabs, wA, wdA, c_row, c_col, M,
+     (need_slabs, need_w, need_cr, need_cc, need_M)) = res
+    if isinstance(g, jax.custom_derivatives.SymbolicZero):
+        return (None,) * 8
+    interpret = _should_interpret()
+    gb = g.astype(jnp.bfloat16)
+    Mb = M.astype(jnp.bfloat16)
+
+    d_M = d_wA = d_wdA = d_cr = d_cc = d_slabs = None
+    if need_M:
+        # Transposing the operator swaps the row/col coefficient pairs.
+        d_M = tiled_fused2(A, dA, slabs, wA, wdA, c_col, c_row, gb, tile)
+    if need_slabs or need_w:
+        # Per-slab inner products: dw8[j] = <slab_j, G M^T>, [4+j] = <.., M G^T>
+        dw8 = _dw_call(slabs, gb, Mb, tile=tile, interpret=interpret)[0]
+        if need_w:
+            # w_row[j] = c_r0 wA[j] + c_r1 wdA[j]; likewise col.
+            d_wA = c_row[0] * dw8[:4] + c_col[0] * dw8[4:]
+            d_wdA = c_row[1] * dw8[:4] + c_col[1] * dw8[4:]
+        if need_cr or need_cc:
+            d_cr = jnp.stack([dw8[:4] @ wA, dw8[:4] @ wdA])
+            d_cc = jnp.stack([dw8[4:] @ wA, dw8[4:] @ wdA])
+            d_cr = d_cr if need_cr else None
+            d_cc = d_cc if need_cc else None
+        if need_slabs:
+            n = slabs[0].shape[0]
+            gf = g[:n].astype(jnp.float32)
+            GMt = gf @ M[:n].T.astype(jnp.float32)
+            MGt = GMt.T
+            w_row = c_row[0] * wA + c_row[1] * wdA
+            w_col = c_col[0] * wA + c_col[1] * wdA
+            d_slabs = tuple(
+                (w_row[j] * GMt + w_col[j] * MGt).astype(slabs[j].dtype)
+                for j in range(4)
+            )
+    elif need_cr or need_cc:
+        # Cheaper 2-plane inner products when tau isn't perturbed.
+        dw4 = _dw2_call(A, dA, gb, Mb, tile=tile, interpret=interpret)[0]
+        d_cr = dw4[:2] if need_cr else None
+        d_cc = dw4[2:] if need_cc else None
+    return None, None, d_slabs, d_wA, d_wdA, d_cr, d_cc, d_M
+
+
+tiled_fused2.defvjp(_tf2_fwd, _tf2_bwd, symbolic_zeros=True)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable primitive
+# ---------------------------------------------------------------------------
+
+
+def _should_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def tiled_abar_apply(slabs, w_row, w_col, M, tile=DEFAULT_TILE):
+    """``B(w_row) @ M + B(w_col)^T @ M`` over Hermite interval planes, tiled.
+
+    slabs: 4-tuple of (n, n) interval planes (any float dtype; consumed as
+    bf16 matmul operands with f32 accumulation). w_row/w_col: (4,) f32
+    per-plane weights (see module docstring). M: (NP, H) with
+    NP = ceil(n/tile)*tile, rows >= n zero. Returns (NP, H) f32 whose [:n]
+    rows hold the result; rows >= n are zero.
+    """
+    wvec = jnp.concatenate([w_row, w_col]).reshape(1, 8).astype(jnp.float32)
+    rowpart, colpart = _fwd_call(slabs, wvec, M.astype(jnp.bfloat16),
+                                 tile=tile, interpret=_should_interpret())
+    return rowpart + colpart
+
+
+def _unwrap(tree):
+    return jax.tree_util.tree_map(lambda leaf: leaf.value, tree)
+
+
+def _perturbed(tree) -> bool:
+    return any(leaf.perturbed for leaf in jax.tree_util.tree_leaves(tree))
+
+
+def _taa_fwd(slabs, w_row, w_col, M, tile):
+    # NOTE: custom_vjp's fwd receives nondiff_argnums in their ORIGINAL
+    # positions (only bwd gets them as leading args).
+    needs = (_perturbed(slabs), _perturbed(w_row), _perturbed(w_col),
+             _perturbed(M))
+    slabs_v, w_row_v, w_col_v, M_v = (
+        _unwrap(slabs), _unwrap(w_row), _unwrap(w_col), _unwrap(M))
+    out = tiled_abar_apply(slabs_v, w_row_v, w_col_v, M_v, tile)
+    return out, (slabs_v, w_row_v, w_col_v, M_v, needs)
+
+
+def _taa_bwd(tile, res, g):
+    slabs, w_row, w_col, M, (need_slabs, need_wr, need_wc, need_M) = res
+    if isinstance(g, jax.custom_derivatives.SymbolicZero):
+        return None, None, None, None
+    n = slabs[0].shape[0]
+    interpret = _should_interpret()
+    gb = g.astype(jnp.bfloat16)
+
+    d_M = d_w_row = d_w_col = d_slabs = None
+    if need_M:
+        # dM = B(w_row)^T g + B(w_col) g: the same kernel with the weight
+        # pairs swapped (transposing the operator swaps row/col roles).
+        d_M = tiled_abar_apply(slabs, w_col, w_row, gb, tile)
+    if need_wr or need_wc:
+        dw = _dw_call(slabs, gb, M.astype(jnp.bfloat16),
+                      tile=tile, interpret=interpret)[0]
+        d_w_row = dw[:4] if need_wr else None
+        d_w_col = dw[4:] if need_wc else None
+    if need_slabs:
+        # Rare path (coefficient planes are data in every trainer): dense
+        # outer products, one (n, n) per plane.
+        gf = g[:n].astype(jnp.float32)
+        Mf = M[:n].astype(jnp.float32)
+        GMt = gf @ Mf.T
+        MGt = GMt.T
+        d_slabs = tuple(
+            (w_row[j] * GMt + w_col[j] * MGt).astype(slabs[j].dtype)
+            for j in range(4)
+        )
+    return d_slabs, d_w_row, d_w_col, d_M
+
+
+tiled_abar_apply.defvjp(_taa_fwd, _taa_bwd, symbolic_zeros=True)
+
+
+# ---------------------------------------------------------------------------
+# Full vector-field evaluation (plain JAX above the primitive)
+# ---------------------------------------------------------------------------
+
+
+def _interval(ts, t):
+    idx = jnp.clip(jnp.searchsorted(ts, t, side="right") - 1, 0,
+                   ts.shape[0] - 2)
+    return idx, t - ts[idx]
+
+
+def tiled_vf_eval(coeffs, ts, t, Z, vf,
+                  red: tp.Optional[PlaneReductions] = None,
+                  tile: int = DEFAULT_TILE):
+    """Evaluate a PermEquiv(Dir)GraphVectorField at (t, Z) via the tiled path.
+
+    coeffs: slim value-channel Hermite stacks (d, c, b, a), each (T-1, n, n);
+    red: cached :class:`PlaneReductions` (from the control; computed from the
+    interval slabs when absent). Fully differentiable in Z / vf params / t;
+    coefficient cotangents are statically skipped unless perturbed
+    (symbolic_zeros on the inner primitive).
+
+    Semantics match the dense oracle chain
+    ``equiv_basis.fused_apply(A(t), dA(t), transform(.), params,
+    add_identity=True)`` per layer with inter-layer relu (reference
+    perm_equiv_graph_vector_field.py:122-125), in bf16 matmul precision.
+    """
+    n = Z.shape[0]
+    directed = (
+        type(vf.gnn_layers[0]).__name__ == "ConvEquivFusionDirectedLayer"
+    )
+    idx, tau = _interval(ts, t)
+    slabs = tuple(
+        jax.lax.dynamic_index_in_dim(p, idx, axis=0, keepdims=False)
+        for p in coeffs
+    )
+    wA, wdA = hermite_weights(tau)
+    if red is not None:
+        rA, rdA, cA, cdA, dgA, dgdA = reductions_at(red, idx, wA, wdA)
+    else:
+        rA, rdA, cA, cdA, dgA, dgdA = reductions_from_slabs(slabs, wA, wdA)
+    sA, sdA = jnp.sum(rA), jnp.sum(rdA)
+
+    # Materialise the bf16 interval planes ONCE per eval (XLA fuses the
+    # interval gather into this polynomial -- one read of the coefficient
+    # stacks, one 2-plane write); every per-layer kernel sweep then reads
+    # 2 planes instead of 4. Gradients flow through (slabs, wA, wdA) inside
+    # tiled_fused2, so the caches are stop_gradient by contract.
+    df, cf, bf, af = (s.astype(jnp.float32) for s in slabs)
+    A_t = ((df * tau + cf) * tau + bf) * tau + af
+    dA_t = (3.0 * df * tau + 2.0 * cf) * tau + bf
+    A_h = jax.lax.stop_gradient(A_t.astype(jnp.bfloat16))
+    dA_h = jax.lax.stop_gradient(dA_t.astype(jnp.bfloat16))
+
+    NP = _cdiv(n, tile) * tile
+    feats = Z
+    L = len(vf.gnn_layers)
+    for l, layer in enumerate(vf.gnn_layers):
+        M = layer.conv_layer.transform(feats)  # (n, H)
+        p = layer.params
+        p1, p2 = p[0], p[1]
+        if NP != n:
+            Mp = jnp.zeros((NP, M.shape[1]), M.dtype).at[:n].set(M)
+        else:
+            Mp = M
+        heavy = tiled_fused2(
+            A_h, dA_h, slabs, wA, wdA, 1.0 + p1, p2, Mp, tile
+        )[:n]
+        if directed:
+            _, _, p3, p4, p4p, p5, p5p, p6, p6p, p7, p8 = p
+            dvec = (p3[0] * dgA + p3[1] * dgdA
+                    + (p6[0] * cA + p6[1] * cdA) / n
+                    + (p6p[0] * rA + p6p[1] * rdA) / n
+                    + (p8[0] * sA + p8[1] * sdA) / n**2 + 1.0)
+            u = (p4[0] * cA + p4[1] * cdA) / n
+            v = ((p4p[0] * rA + p4p[1] * cdA)   # term_4' quirk, layers.py:288
+                 + (p5[0] * cA + p5[1] * cdA)
+                 + (p5p[0] * rA + p5p[1] * rdA)) / n
+        else:
+            _, _, p3, p4, p5, p6, p7, p8 = p
+            dvec = (p3[0] * dgA + p3[1] * dgdA
+                    + (p6[0] * rA + p6[1] * rdA) / n
+                    + (p8[0] * sA + p8[1] * sdA) / n**2 + 1.0)
+            u = (p4[0] * rA + p4[1] * rdA) / n
+            v = (p5[0] * rA + p5[1] * rdA) / n
+        c7 = (p7[0] + p7[1]) * sA / n**2  # quirk: both operands sum(A)
+        s = jnp.sum(M, axis=0)
+        w = v @ M
+        feats = (heavy + dvec[:, None] * M
+                 + u[:, None] * s[None, :] + (w + c7 * s)[None, :])
+        if l < L - 1:
+            feats = jax.nn.relu(feats)
+    return feats

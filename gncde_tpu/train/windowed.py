@@ -66,7 +66,78 @@ from . import checkpoints
 logging.basicConfig(level=logging.INFO)
 
 
-def stack_windows(batches: tp.List[tp.Dict]) -> tp.List[tp.Dict]:
+def _cubic_end_state(coeff_tuple):
+    """(value, derivative) at the last knot from (d, c, b, a) stacks.
+
+    Window knots are 0, 1, 2, ... (data/windows.py: ``np.arange``), so the
+    last interval has unit length: value(t_end) = d + c + b + a and
+    derivative(t_end) = 3d + 2c + b of the final interval.
+    """
+    d, c, b, a = (jnp.asarray(x)[-1] for x in coeff_tuple)
+    return ((d + c) + b) + a, (3.0 * d + 2.0 * c) + b
+
+
+def pad_windows(batches: tp.List[tp.Dict], t_max: int) -> tp.List[tp.Dict]:
+    """Pad ragged windows to ``t_max`` snapshots with a CONSTANT extension.
+
+    Padding scheme (SURVEY.md section 7.3 item 6 -- fixed-shape batching):
+      * ``t`` (and other knot vectors) repeat the final knot, so the solve's
+        ``t1 = ts[-1]`` -- and hence the integration span and step count --
+        are UNCHANGED; the solver never enters the padded region.
+      * cubic coefficient tuples gain zero-length intervals carrying the
+        path's END VALUE and END DERIVATIVE (d = c = 0, b = deriv,
+        a = value): an evaluation at exactly ``t1`` (the final RK stage /
+        SaveAt point) sees the same (value, derivative) as the unpadded
+        path, so trajectories are bit-equivalent.
+      * time-major signal arrays (``x_t``, ``A``) repeat the last frame;
+        models that rebuild coefficients from them in-forward get the same
+        end state via the interpolation layer's zero-length-interval
+        slope fill (interp/paths.py:backward_hermite_coefficients).
+      * ``time_mask`` records the valid knots for sequence-style consumers.
+
+    Final-time losses (the PGT/TGB window trainers) are therefore EXACT
+    under padding, not approximated.
+    """
+    out = []
+    for b in batches:
+        t_len = int(np.asarray(b["t"]).shape[0])
+        extra = t_max - t_len
+        if extra < 0:
+            raise ValueError(f"window longer ({t_len}) than t_max ({t_max})")
+        nb = {}
+        for k, v in b.items():
+            if isinstance(v, (tuple, list)):  # cubic (d, c, b, a) stacks
+                if extra == 0:
+                    nb[k] = tuple(jnp.asarray(c) for c in v)
+                    continue
+                end_val, end_der = _cubic_end_state(v)
+                dt = jnp.asarray(v[0]).dtype
+                zeros = jnp.zeros((extra,) + end_val.shape, dt)
+                ext = lambda stack, pad: jnp.concatenate(
+                    [jnp.asarray(stack),
+                     jnp.broadcast_to(pad, (extra,) + pad.shape).astype(dt)]
+                )
+                nb[k] = (
+                    ext(v[0], jnp.zeros_like(end_val)),  # d
+                    ext(v[1], jnp.zeros_like(end_val)),  # c
+                    ext(v[2], end_der),                  # b
+                    ext(v[3], end_val),                  # a
+                )
+                continue
+            arr = jnp.asarray(v)
+            # Knot vectors and time-major signals (window dict layout:
+            # data/windows.py:process_window_{tgb,pgt}); labels/masks/scalars
+            # are time-free and stay untouched.
+            if k in ("t", "A_t", "events_time", "x_t", "A") and extra:
+                rep = jnp.broadcast_to(arr[-1], (extra,) + arr.shape[1:])
+                arr = jnp.concatenate([arr, rep])
+            nb[k] = arr
+        nb["time_mask"] = jnp.arange(t_max) < t_len
+        out.append(nb)
+    return out
+
+
+def stack_windows(batches: tp.List[tp.Dict], pad_ragged: bool = True) -> tp.List[tp.Dict]:
     """Group window dicts by array shapes and stack each group along a new
     leading axis (ready for a vmapped loss).
 
@@ -74,18 +145,41 @@ def stack_windows(batches: tp.List[tp.Dict]) -> tp.List[tp.Dict]:
     (data/windows.py:sample_disjoint_window_starts, mirroring reference
     dataset_configs.py:692-716), so every window has identical shapes and
     this produces exactly ONE stacked group -- one compiled program per
-    loader. The shape-signature grouping is a safety net for hand-built
-    window lists; if it ever splinters (>1 group => one XLA program per
-    shape), warn loudly instead of silently multiplying compile count.
+    loader. Ragged hand-built window lists are padded to the longest window
+    (:func:`pad_windows` -- exact constant-extension semantics) so they
+    still compile ONE program; if padding cannot reconcile the shapes
+    (e.g. differing node counts), fall back to shape groups with a loud
+    warning instead of silently multiplying compile count.
     """
-    groups: tp.Dict[tp.Tuple, tp.List[tp.Dict]] = {}
-    for b in batches:
-        sig = tuple(
-            (k, tuple(jnp.asarray(v).shape) if not isinstance(v, (tuple, list))
-             else tuple(tuple(c.shape) for c in v))
-            for k, v in sorted(b.items())
-        )
-        groups.setdefault(sig, []).append(b)
+
+    def _group(bs):
+        groups: tp.Dict[tp.Tuple, tp.List[tp.Dict]] = {}
+        for b in bs:
+            sig = tuple(
+                (k, tuple(jnp.asarray(v).shape) if not isinstance(v, (tuple, list))
+                 else tuple(tuple(c.shape) for c in v))
+                for k, v in sorted(b.items())
+            )
+            groups.setdefault(sig, []).append(b)
+        return groups
+
+    groups = _group(batches)
+    if len(groups) > 1 and pad_ragged and all("t" in b for b in batches):
+        t_max = max(int(np.asarray(b["t"]).shape[0]) for b in batches)
+        try:
+            padded = pad_windows(batches, t_max)
+            regrouped = _group(padded)
+            if len(regrouped) == 1:
+                groups = regrouped
+                logging.getLogger("gncde").info(
+                    "stack_windows: padded %d ragged windows to %d knots "
+                    "(one compiled program)", len(batches), t_max,
+                )
+        except Exception as exc:  # noqa: BLE001 - fall back to shape groups
+            logging.getLogger("gncde").warning(
+                "stack_windows: pad-to-max failed (%r); falling back to "
+                "shape groups", exc,
+            )
 
     stacked = []
     for group in groups.values():
