@@ -16,10 +16,12 @@ Serves BOTH the undirected 8-term and directed 11-term bases (see
 _make_kernel). Constraints: single-core whole-VMEM kernel; VMEM footprint
 is roughly ``n^2 * (4 coeff planes + A/dA f32 + 4 matmul-operand copies)``
 which caps ``n`` at :data:`MEGAKERNEL_MAX_N` (larger graphs fall back to
-the XLA dense path in the vector-field dispatch). Backward runs through the
-XLA path via custom_vjp with ``symbolic_zeros=True`` so cotangents for
-unperturbed inputs (the coefficient planes are data in every trainer) are
-statically skipped.
+the XLA dense path in the vector-field dispatch). Backward is a second
+fused Pallas kernel (megakernel_bwd.py) computing every cotangent in one
+pallas_call; custom_vjp with ``symbolic_zeros=True`` statically skips
+cotangents for unperturbed inputs (the coefficient planes are data in
+every trainer), and perturbed-coefficient or 512 < n <= 640 cases keep the
+equivalent-XLA backward.
 
 STATUS: production TPU path since round 2, for training AND inference --
 flagship dyn train step 0.905 s (f32) / 0.663 s (bf16) vs 1.39 s on the
@@ -270,15 +272,21 @@ def _interval(ts, t):
     return idx, t - ts[idx]
 
 
+def _bwd_max_n() -> int:
+    from .megakernel_bwd import MEGAKERNEL_BWD_MAX_N
+
+    return MEGAKERNEL_BWD_MAX_N
+
+
 @jax.custom_vjp
 def megakernel_vf_eval(coeffs, ts, t, Z, vf):
     """Single fused vf evaluation: interval coeffs -> vf output.
 
     coeffs: slim value-channel (d, c, b, a), each (T-1, n, n); ts: knot
     times; t: evaluation time; Z: (n, Hin) node state;
-    vf: PermEquivGraphVectorField (undirected). Fully differentiable -- the
-    backward pass runs the equivalent XLA program (megakernel accelerates
-    the forward/inference path; training still gains the forward half).
+    vf: PermEquivGraphVectorField (undirected or directed). Fully
+    differentiable -- the backward pass is a second fused Pallas kernel
+    (megakernel_bwd.py), so training steps run Pallas in both directions.
     """
     from ... import ops as ops_config
 
@@ -329,6 +337,27 @@ def _mk_bwd(res, g):
     coeffs, ts, t, Z, vf, (need_coeffs, need_t, need_Z, need_vf) = res
     if isinstance(g, jax.custom_derivatives.SymbolicZero):
         return None, None, None, None, None
+
+    if not need_coeffs and Z.shape[0] <= _bwd_max_n():
+        # Production path: ONE fused Pallas kernel computes every cotangent
+        # (dZ, dt, all layer params) with the coefficient planes' read as its
+        # only O(n^2) HBM traffic (megakernel_bwd.py). The XLA fallback below
+        # remains for perturbed coefficients (no trainer does this) and for
+        # the 512 < n <= 640 sliver where the reverse sweep's VMEM footprint
+        # doesn't fit.
+        from . import megakernel_bwd
+
+        d_t, d_Z, d_vf = megakernel_bwd.megakernel_vf_bwd(
+            coeffs, ts, t, Z, vf, g
+        )
+        return (
+            None,
+            None,
+            d_t if need_t else None,
+            d_Z if need_Z else None,
+            d_vf if need_vf else None,
+        )
+
     idx, _ = _interval(ts, t)
 
     if need_coeffs:

@@ -132,14 +132,28 @@ def test_async_checkpointer_roundtrip(tmp_path):
     np.testing.assert_allclose(restored.model.weight, model2.weight)
 
 
-def test_stack_windows_groups_by_shape():
-    import jax.numpy as jnp
+def test_stack_windows_pads_ragged_to_one_group():
     from gncde_tpu.train.windowed import stack_windows
 
     w1 = {"t": np.arange(4.0), "A": np.zeros((4, 3, 3))}
     w2 = {"t": np.arange(4.0), "A": np.ones((4, 3, 3))}
-    w3 = {"t": np.arange(6.0), "A": np.ones((6, 3, 3))}  # different shape
+    w3 = {"t": np.arange(6.0), "A": np.ones((6, 3, 3))}  # different length
+    # Default: ragged windows are padded to the longest (6 knots) -> ONE
+    # stacked group, one compiled program (SURVEY.md section 7.3 item 6;
+    # exact-loss parity covered by tests/test_window_padding.py).
     stacked = stack_windows([w1, w2, w3])
+    assert [s["_batched"] for s in stacked] == [3]
+    assert stacked[0]["t"].shape == (3, 6)
+    assert stacked[0]["A"].shape == (3, 6, 3, 3)
+
+
+def test_stack_windows_groups_by_shape_without_padding():
+    from gncde_tpu.train.windowed import stack_windows
+
+    w1 = {"t": np.arange(4.0), "A": np.zeros((4, 3, 3))}
+    w2 = {"t": np.arange(4.0), "A": np.ones((4, 3, 3))}
+    w3 = {"t": np.arange(6.0), "A": np.ones((6, 3, 3))}
+    stacked = stack_windows([w1, w2, w3], pad_ragged=False)
     sizes = sorted(s["_batched"] for s in stacked)
     assert sizes == [1, 2]
     big = next(s for s in stacked if s["_batched"] == 2)
