@@ -1,0 +1,322 @@
+"""Block-sparse (BCSR / blocked-ELL) graph operators with Pallas TPU kernels.
+
+SURVEY.md section 2.3(a) names Pallas SpMM *and* SDDMM as the native sparse
+surface (the dense matmul at reference src/models/vector_fields/layers.py:
+45-48 is the target). The element-sparse Pallas seed
+(ops/pallas/sparse_spmm.py) is blocked on Mosaic's missing sublane
+dynamic-gather: a scalar row loop loses ~40x to XLA's fused gather. The
+standard TPU answer is BLOCK sparsity -- no gathers at all:
+
+  * the matrix is a grid of dense ``bs x bs`` tiles; only nonzero tiles are
+    stored (blocked-ELL: ``block_idx (nb, kb)`` column-block ids per block
+    row, zero-padded slots);
+  * SpMM walks ``grid=(nb, kb)`` and feeds the MXU one
+    ``(bs, bs) @ (bs, H)`` per step, with the M operand tile DMA'd by a
+    *scalar-prefetch* index map (``block_idx`` rides in SMEM ahead of the
+    body -- the canonical Pallas block-sparse pattern);
+  * SDDMM emits one ``X_i @ Y_j^T`` tile per stored block -- exactly the
+    VJP of SpMM w.r.t. the stored values, and the standard attention-style
+    sampled product.
+
+For graph operators this fits the partitioned/halo regime (banded or
+community-clustered adjacency, gncde_tpu/parallel/sharded_ops.py): stored
+blocks are mostly full, so the MXU runs near-dense efficiency while HBM
+traffic stays O(stored-blocks). For uniformly random sparsity at ~1%
+density a 128-block pulls mostly zeros -- that regime belongs to the
+element-sparse ELL path (ops/sparse.py); benchmarks/bcsr_micro.py measures
+both regimes honestly.
+
+``A^T @ M`` does not scatter: :func:`bcsr_transpose` rebuilds the
+transposed layout once at construction (host side, like ell_from_dense),
+and ``spmm_t(A, M) == spmm(A_T, M)``.
+"""
+
+from __future__ import annotations
+
+import functools
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..nn.module import Module, static_field
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+class BCSR(Module):
+    """Blocked-ELL sparse matrix.
+
+    block_idx: (nb, kb) int32 column-block ids; padding slots are 0 and
+    their blocks are all-zero (contributions vanish, index stays in range).
+    blocks: (nb, kb, bs, bs) float tile values.
+    n: logical matrix dimension (rows = cols = n; the block grid covers
+    ceil(n / bs) * bs with zero padding).
+    """
+
+    block_idx: jax.Array
+    blocks: jax.Array
+    n: int = static_field()
+
+    @property
+    def block_size(self) -> int:
+        return self.blocks.shape[-1]
+
+    @property
+    def nb(self) -> int:
+        return self.block_idx.shape[0]
+
+    @property
+    def kb(self) -> int:
+        return self.block_idx.shape[1]
+
+    def astype(self, dtype) -> "BCSR":
+        return BCSR(self.block_idx, self.blocks.astype(dtype), self.n)
+
+    def scale(self, c) -> "BCSR":
+        return BCSR(self.block_idx, c * self.blocks, self.n)
+
+    def combine(self, other: "BCSR", ca=1.0, cb=1.0) -> "BCSR":
+        """``ca * self + cb * other`` for BCSRs sharing one block pattern."""
+        return BCSR(self.block_idx, ca * self.blocks + cb * other.blocks, self.n)
+
+
+def bcsr_from_dense(
+    A: np.ndarray, block_size: int = 128, max_blocks_per_row: tp.Optional[int] = None
+) -> BCSR:
+    """Build the blocked-ELL layout from a dense matrix (host side)."""
+    A = np.asarray(A)
+    n = A.shape[0]
+    bs = block_size
+    nb = _cdiv(n, bs)
+    Ap = np.zeros((nb * bs, nb * bs), A.dtype)
+    Ap[:n, :n] = A
+    tiles = Ap.reshape(nb, bs, nb, bs).transpose(0, 2, 1, 3)  # (nb, nb, bs, bs)
+    nz = [(np.nonzero(np.any(tiles[i] != 0, axis=(1, 2)))[0]) for i in range(nb)]
+    kb = max((len(z) for z in nz), default=1) or 1
+    if max_blocks_per_row is not None:
+        if any(len(z) > max_blocks_per_row for z in nz):
+            raise ValueError("max_blocks_per_row too small for this pattern")
+        kb = max_blocks_per_row
+    block_idx = np.zeros((nb, kb), np.int32)
+    blocks = np.zeros((nb, kb, bs, bs), np.float32)
+    for i, z in enumerate(nz):
+        block_idx[i, : len(z)] = z
+        blocks[i, : len(z)] = tiles[i, z]
+    return BCSR(jnp.asarray(block_idx), jnp.asarray(blocks), n)
+
+
+def bcsr_to_dense(b: BCSR) -> jax.Array:
+    bs, nb = b.block_size, b.nb
+    out = jnp.zeros((nb, nb, bs, bs), b.blocks.dtype)
+    rows = jnp.repeat(jnp.arange(nb), b.kb)
+    cols = b.block_idx.reshape(-1)
+    out = out.at[rows, cols].add(b.blocks.reshape(-1, bs, bs))
+    return out.transpose(0, 2, 1, 3).reshape(nb * bs, nb * bs)[: b.n, : b.n]
+
+
+def bcsr_transpose(b: BCSR) -> "BCSR":
+    """Transposed layout (host-side rebuild; padding-safe because padded
+    blocks are all-zero)."""
+    return bcsr_from_dense(np.asarray(bcsr_to_dense(b)).T, b.block_size, None)
+
+
+# ---------------------------------------------------------------------------
+# XLA reference implementations (oracle + CPU fallback)
+# ---------------------------------------------------------------------------
+
+
+def _pad_rows(M: jax.Array, rows: int) -> jax.Array:
+    if M.shape[0] == rows:
+        return M
+    return jnp.zeros((rows, M.shape[1]), M.dtype).at[: M.shape[0]].set(M)
+
+
+def bcsr_spmm_xla(b: BCSR, M: jax.Array) -> jax.Array:
+    """Reference ``A @ M``: gather M's row blocks, batched block matmuls."""
+    bs, nb = b.block_size, b.nb
+    Mp = _pad_rows(M, nb * bs).reshape(nb, bs, -1)
+    gathered = Mp[b.block_idx]  # (nb, kb, bs, H)
+    out = jnp.einsum(
+        "rkab,rkbh->rah",
+        b.blocks.astype(jnp.float32),
+        gathered.astype(jnp.float32),
+    )
+    return out.reshape(nb * bs, -1)[: M.shape[0]]
+
+
+def bcsr_sddmm_xla(
+    block_idx: jax.Array, X: jax.Array, Y: jax.Array, block_size: int
+) -> jax.Array:
+    """Reference sampled product: blocks[r, k] = X_r @ Y_{idx[r,k]}^T."""
+    nb = block_idx.shape[0]
+    Xp = _pad_rows(X, nb * block_size).reshape(nb, block_size, -1)
+    Yp = _pad_rows(Y, nb * block_size).reshape(nb, block_size, -1)
+    Yg = Yp[block_idx]  # (nb, kb, bs, H)
+    return jnp.einsum(
+        "rah,rkbh->rkab", Xp.astype(jnp.float32), Yg.astype(jnp.float32)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels
+# ---------------------------------------------------------------------------
+
+
+def _should_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _spmm_kernel(idx_ref, blk_ref, m_ref, out_ref):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += jax.lax.dot_general(
+        blk_ref[0, 0], m_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _bcsr_spmm_pallas(b: BCSR, M: jax.Array, interpret: bool = False):
+    bs, nb, kb = b.block_size, b.nb, b.kb
+    H = M.shape[1]
+    Mp = _pad_rows(M, nb * bs)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # block_idx
+        grid=(nb, kb),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, bs, bs), lambda i, k, idx: (i, k, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (bs, H), lambda i, k, idx: (idx[i, k], 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (bs, H), lambda i, k, idx: (i, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    out = pl.pallas_call(
+        _spmm_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb * bs, H), jnp.float32),
+        interpret=interpret,
+    )(b.block_idx, b.blocks, Mp)
+    return out[: M.shape[0]]
+
+
+def bcsr_spmm(b: BCSR, M: jax.Array) -> jax.Array:
+    """``A @ M`` -- Pallas block kernel on TPU, XLA reference elsewhere."""
+    if _should_interpret():
+        return bcsr_spmm_xla(b, M)
+    return _bcsr_spmm_pallas(b, M)
+
+
+def _sddmm_kernel(idx_ref, x_ref, y_ref, out_ref):
+    out_ref[0, 0] = jax.lax.dot_general(
+        x_ref[:], y_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("block_size", "interpret"))
+def _bcsr_sddmm_pallas(
+    block_idx: jax.Array, X: jax.Array, Y: jax.Array, block_size: int,
+    interpret: bool = False,
+):
+    nb, kb = block_idx.shape
+    bs = block_size
+    H = X.shape[1]
+    Xp = _pad_rows(X, nb * bs)
+    Yp = _pad_rows(Y, nb * bs)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb, kb),
+        in_specs=[
+            pl.BlockSpec(
+                (bs, H), lambda i, k, idx: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (bs, H), lambda i, k, idx: (idx[i, k], 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, bs, bs), lambda i, k, idx: (i, k, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        _sddmm_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, kb, bs, bs), jnp.float32),
+        interpret=interpret,
+    )(block_idx, Xp, Yp)
+
+
+def bcsr_sddmm(
+    block_idx: jax.Array, X: jax.Array, Y: jax.Array, block_size: int
+) -> jax.Array:
+    """Sampled ``X @ Y^T`` at a blocked-ELL pattern: the VJP of
+    :func:`bcsr_spmm` w.r.t. ``blocks`` (cotangent G in X's slot, M in Y's)
+    and the building block for attention-style scores over graph blocks."""
+    if _should_interpret():
+        return bcsr_sddmm_xla(block_idx, X, Y, block_size)
+    return _bcsr_sddmm_pallas(block_idx, X, Y, block_size)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable SpMM (backward = SDDMM + transposed SpMM)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def bcsr_spmm_grad(blocks, block_idx, blocks_T, block_idx_T, M, n):
+    """Differentiable ``A @ M`` with explicit transposed layout.
+
+    d/dM = A^T @ G rides the SAME SpMM kernel on the transposed layout;
+    d/dblocks = SDDMM(G, M) at A's pattern. Pass layouts from
+    :func:`bcsr_transpose`; ``n`` (static) is the logical dimension.
+    """
+    b = BCSR(block_idx, blocks, n)
+    return bcsr_spmm(b, M)
+
+
+def _bsg_fwd(blocks, block_idx, blocks_T, block_idx_T, M, n):
+    out = bcsr_spmm_grad(blocks, block_idx, blocks_T, block_idx_T, M, n)
+    return out, (blocks, block_idx, blocks_T, block_idx_T, M)
+
+
+def _int_zero(x):
+    return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+
+def _bsg_bwd(n, res, g):
+    blocks, block_idx, blocks_T, block_idx_T, M = res
+    bs = blocks.shape[-1]
+    d_blocks = bcsr_sddmm(block_idx, g, M, bs)
+    bT = BCSR(block_idx_T, blocks_T, n)
+    d_M = bcsr_spmm(bT, g).astype(M.dtype)
+    return (
+        d_blocks.astype(blocks.dtype),
+        _int_zero(block_idx),
+        jnp.zeros_like(blocks_T),
+        _int_zero(block_idx_T),
+        d_M,
+    )
+
+
+bcsr_spmm_grad.defvjp(_bsg_fwd, _bsg_bwd)
