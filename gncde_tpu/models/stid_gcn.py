@@ -150,10 +150,12 @@ class _ConvBlock(Module):
     dropout_layer: Dropout
     leaky: bool = static_field()
 
-    def __init__(self, channels, dropout, leaky, *, key):
-        ka, kb = jr.split(key)
-        self.conva = Conv2d(channels, channels, (1, 5), key=ka)
-        self.convb = Conv2d(channels, channels, (1, 3), key=kb)
+    def __init__(self, channels, dropout, leaky, *, key_a, key_b):
+        # Two explicit keys: the reference draws each Conv2d directly from
+        # IDGCN's 8-way split (stid_gcn.py:283, 263-341), so splitting a
+        # single key here would diverge from its weight stream.
+        self.conva = Conv2d(channels, channels, (1, 5), key=key_a)
+        self.convb = Conv2d(channels, channels, (1, 3), key=key_b)
         self.dropout_layer = Dropout(dropout)
         self.leaky = leaky
 
@@ -181,11 +183,18 @@ class IDGCN(Module):
         self.split_flag = splitting
         # Reference quirk: conv1 has NO leaky_relu between its convs
         # (stid_gcn.py:263-281); conv2-4 do.
-        self.conv1 = _ConvBlock(channels, dropout, leaky=False, key=keys[0])
-        self.conv2 = _ConvBlock(channels, dropout, leaky=True, key=keys[2])
-        self.conv3 = _ConvBlock(channels, dropout, leaky=True, key=keys[4])
-        self.conv4 = _ConvBlock(channels, dropout, leaky=True, key=keys[6])
-        self.dgcn = DGCN(channels, num_nodes, diffusion_step, dropout, emb=emb, key=keys[8])
+        self.conv1 = _ConvBlock(channels, dropout, leaky=False,
+                                key_a=keys[0], key_b=keys[1])
+        self.conv2 = _ConvBlock(channels, dropout, leaky=True,
+                                key_a=keys[2], key_b=keys[3])
+        self.conv3 = _ConvBlock(channels, dropout, leaky=True,
+                                key_a=keys[4], key_b=keys[5])
+        self.conv4 = _ConvBlock(channels, dropout, leaky=True,
+                                key_a=keys[6], key_b=keys[7])
+        # Reference quirk: IDGCN splits 8 keys but passes keys[8] to DGCN
+        # (stid_gcn.py:236, 348) -- jax clamps the out-of-bounds index, so
+        # DGCN actually REUSES keys[7] (conv4's second conv key).
+        self.dgcn = DGCN(channels, num_nodes, diffusion_step, dropout, emb=emb, key=keys[7])
 
     def __call__(self, x, *, key, train: bool = True):
         keys = jr.split(key, 9)

@@ -276,6 +276,11 @@ class Conv2d(Module):
             stride = (stride, stride)
         if isinstance(padding, int):
             padding = ((padding, padding), (padding, padding))
+        elif isinstance(padding, (tuple, list)) and all(
+            isinstance(p, int) for p in padding
+        ):
+            # equinox semantics: one int per spatial dim, symmetric.
+            padding = tuple((p, p) for p in padding)
         wkey, bkey = jr.split(key, 2)
         fan_in = in_channels * kernel_size[0] * kernel_size[1]
         lim = 1.0 / math.sqrt(fan_in)

@@ -29,14 +29,56 @@ class Module:
             raise TypeError(f"unexpected kwargs {sorted(kwargs)}")
 
 
+class Lambda(Module):
+    """equinox.nn.Lambda: wrap a function as a (stateless) layer."""
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def __call__(self, x, *, key=None):
+        return self.fn(x)
+
+
+class Sequential(Module):
+    """equinox.nn.Sequential: apply layers in order; a provided key is split
+    one-per-layer and passed to layers that accept it."""
+
+    def __init__(self, layers):
+        self.layers = tuple(layers)
+
+    def __call__(self, x, *, key=None):
+        import jax.random as jr
+
+        keys = (
+            [None] * len(self.layers)
+            if key is None
+            else list(jr.split(key, len(self.layers)))
+        )
+        for layer, k in zip(self.layers, keys):
+            try:
+                x = layer(x, key=k)
+            except TypeError:
+                x = layer(x)
+        return x
+
+
 def build_stub() -> types.ModuleType:
+    from gncde_tpu.nn import module as _gmod
+
     eqx = types.ModuleType("equinox")
     eqx.Module = Module
+    eqx.is_array = _gmod.is_array
+    eqx.partition = _gmod.partition
     nn = types.ModuleType("equinox.nn")
     nn.Linear = _gnn.Linear
     nn.MLP = _gnn.MLP
     nn.RMSNorm = _gnn.RMSNorm
     nn.Embedding = _gnn.Embedding
+    nn.LayerNorm = _gnn.LayerNorm
+    nn.Conv2d = _gnn.Conv2d
+    nn.Dropout = _gnn.Dropout
+    nn.Lambda = Lambda
+    nn.Sequential = Sequential
     eqx.nn = nn
     return eqx
 

@@ -46,8 +46,17 @@ VF_FILES = [
     "perm_equiv_dir_graph_vector_field.py",
     "graph_vector_field.py",
     "gnode_vector_field.py",
+    "gnode_floor_vector_field.py",
+    "pre_mult_fusion_graph_vector_field.py",
+    "st_graph_vector_field.py",
+    "mlp_vector_field.py",
+    "const_vector_field.py",
+    "cde_wrapper_vector_field.py",
+    "stcde_wrapper_vector_field.py",
+    "pgt_stcde_wrapper_vector_field.py",
 ]
 NN_FILES = ["__init__.py", "fully_connected_tanh.py", "idx_encoder.py"]
+MODEL_FILES = ["astgcn.py", "dcrnn.py", "stid_gcn.py"]
 
 
 def import_reference(ref_root: str):
@@ -68,22 +77,49 @@ def import_reference(ref_root: str):
         shutil.copyfile(os.path.join(src_vf, f), os.path.join(vf_dir, f))
     for f in NN_FILES:
         shutil.copyfile(os.path.join(src_nn, f), os.path.join(nn_dir, f))
+    for f in MODEL_FILES:
+        shutil.copyfile(
+            os.path.join(ref_root, "src", "models", f),
+            os.path.join(pkg, "models", f),
+        )
     sys.path.insert(0, tmp)
+    # mlp_vector_field does ``import diffrax`` without using it; satisfy the
+    # import without requiring the package.
+    if "diffrax" not in sys.modules:
+        try:
+            import diffrax  # noqa: F401
+        except ImportError:
+            import types
+
+            sys.modules["diffrax"] = types.ModuleType("diffrax")
     layers = importlib.import_module("refsrc.models.vector_fields.layers")
+    vf_mods = [
+        ("perm_equiv", "perm_equiv_graph_vector_field"),
+        ("perm_equiv_dir", "perm_equiv_dir_graph_vector_field"),
+        ("graph", "graph_vector_field"),
+        ("gnode", "gnode_vector_field"),
+        ("gnode_floor", "gnode_floor_vector_field"),
+        ("pre_mult", "pre_mult_fusion_graph_vector_field"),
+        ("st", "st_graph_vector_field"),
+        ("mlp", "mlp_vector_field"),
+        ("const", "const_vector_field"),
+        ("cde_wrapper", "cde_wrapper_vector_field"),
+        ("stcde_wrapper", "stcde_wrapper_vector_field"),
+        ("pgt_stcde_wrapper", "pgt_stcde_wrapper_vector_field"),
+    ]
     fields = {
-        "perm_equiv": importlib.import_module(
-            "refsrc.models.vector_fields.perm_equiv_graph_vector_field"
-        ),
-        "perm_equiv_dir": importlib.import_module(
-            "refsrc.models.vector_fields.perm_equiv_dir_graph_vector_field"
-        ),
-        "graph": importlib.import_module(
-            "refsrc.models.vector_fields.graph_vector_field"
-        ),
-        "gnode": importlib.import_module(
-            "refsrc.models.vector_fields.gnode_vector_field"
-        ),
+        name: importlib.import_module(f"refsrc.models.vector_fields.{mod}")
+        for name, mod in vf_mods
     }
+    fields["nn"] = importlib.import_module(
+        "refsrc.models.neural_nets.fully_connected_tanh"
+    )
+    fields["idx"] = importlib.import_module(
+        "refsrc.models.neural_nets.idx_encoder"
+    )
+    for name, mod in (("astgcn", "astgcn"), ("dcrnn", "dcrnn"),
+                      ("stid_gcn", "stid_gcn")):
+        fields[name] = importlib.import_module(f"refsrc.models.{mod}")
     return layers, fields
 
 
@@ -190,6 +226,298 @@ def main():
         "graph_vf", 23, vf(t0, feats, ctrl),
         {"l0_linear_w": vf.gnn_layers[0].linear.weight},
     )
+
+    vf = fields["gnode"].GNODEVectorField(
+        input_dim=H, hidden_dim=H, output_dim=H, data_embed_dim=1,
+        num_nodes=n, num_layers=2, key=jr.PRNGKey(24),
+    )
+    save(
+        "gnode_vf", 24, vf(t0, feats, ctrl),
+        {"l0_linear_w": vf.gnn_layers[0].linear.weight},
+    )
+
+    # GNODEFloor: piecewise-constant adjacency list indexed by event time.
+    k_evts = jr.split(jr.PRNGKey(700), 3)
+    adjacency_list = jnp.stack(
+        [jr.uniform(k, (n, n)) for k in k_evts]
+    )
+    events_time = jnp.asarray([0.0, 0.3, 0.6])
+    vf = fields["gnode_floor"].GNODEFloorVectorField(
+        input_dim=H, hidden_dim=H, output_dim=H, num_layers=2,
+        key=jr.PRNGKey(25),
+    )
+    out = vf(t0, feats, (ctrl, adjacency_list, events_time))
+    np.savez(
+        os.path.join(args.out, "gnode_floor_vf.npz"),
+        feats=np.asarray(feats), A=np.asarray(A), dA=np.asarray(dA),
+        adjacency_list=np.asarray(adjacency_list),
+        events_time=np.asarray(events_time),
+        out=np.asarray(out), key_seed=25,
+        probe_l0_linear_w=np.asarray(vf.gnn_layers[0].linear.weight),
+        **meta,
+    )
+    print(f"golden gnode_floor_vf: out {np.asarray(out).shape}")
+
+    # PreMult: the reference hardcodes (400, 400) fusion matrices
+    # (layers.py:390-391), so this golden runs at n=400.
+    n4 = 400
+    k4f, k4A, k4d = jr.split(jr.PRNGKey(701), 3)
+    feats4 = jr.normal(k4f, (n4, H))
+    A4 = jr.uniform(k4A, (n4, n4))
+    dA4 = jr.normal(k4d, (n4, n4)) * 0.2
+    vf = fields["pre_mult"].PreMultFusionGraphVectorField(
+        input_dim=H, hidden_dim=H, output_dim=H, data_embed_dim=1,
+        num_layers=2, num_nodes=n4, key=jr.PRNGKey(26),
+    )
+    out = vf(t0, feats4, FakeControl(A4, dA4))
+    np.savez(
+        os.path.join(args.out, "pre_mult_vf.npz"),
+        feats=np.asarray(feats4), A=np.asarray(A4), dA=np.asarray(dA4),
+        out=np.asarray(out), key_seed=26,
+        probe_fusion_1=np.asarray(vf.gnn_layers[0].fusion_1[:8, :8]),
+        probe_l0_linear_w=np.asarray(vf.gnn_layers[0].conv_layer.linear.weight),
+        **{**meta, "n": n4},
+    )
+    print(f"golden pre_mult_vf: out {np.asarray(out).shape}")
+
+    vf = fields["const"].ConstVectorField(
+        input_dim=H, hidden_dim=H, output_dim=H, num_layers=2,
+        data_embed_dim=1, num_nodes=n, key=jr.PRNGKey(27),
+    )
+    save("const_vf", 27, vf(t0, feats, ctrl), {"bias": vf.bias})
+
+    vf = fields["mlp"].MLPVectorField(
+        input_dim=H, hidden_dim=H, output_dim=H, num_layers=2,
+        key=jr.PRNGKey(28),
+    )
+    t_arr = jnp.full((n,), t0)
+    save(
+        "mlp_vf", 28, vf(t_arr, feats, ctrl),
+        {"mlp_l0_w": vf.mlp.layers[0].weight},
+    )
+
+    vf = fields["st"].STGraphVectorField(
+        input_dim=H, hidden_dim=H, output_dim=H, num_layers=2,
+        node_embed_dim=4, num_nodes=n, cheb_k=3, key=jr.PRNGKey(29),
+    )
+    save(
+        "st_vf", 29, vf(feats),
+        {
+            "node_embeddings": vf.node_embeddings,
+            "linear_in_w": vf.linear_in.weight,
+        },
+    )
+
+    ftf = fields["nn"].FinalTanhF(
+        input_dim=H, hidden_dim=H, output_dim=2 * H, num_layers=3,
+        key=jr.PRNGKey(30),
+    )
+    save(
+        "final_tanh_f", 30, ftf(feats),
+        {"linear_in_w": ftf.linear_in.weight,
+         "linear_out_w": ftf.linear_out.weight},
+    )
+
+    enc = fields["idx"].IdxEncoder(n, 4, key=jr.PRNGKey(31), type="mlp")
+    save("idx_encoder_mlp", 31, enc(), {"mlp_l0_w": enc.module.layers[0].weight})
+
+    # --- CDE wrappers (data-path contraction) ---
+    class FakeDataControl:
+        """Data control duck-type: fixed derivative array."""
+
+        def __init__(self, deriv):
+            self.deriv = deriv
+
+        def derivative(self, t):
+            return self.deriv
+
+    inner = fields["perm_equiv"].PermEquivGraphVectorField(
+        input_dim=H, hidden_dim=H, output_dim=2 * H, num_layers=2,
+        data_embed_dim=1, num_nodes=n, key=jr.PRNGKey(32),
+    )
+    dX = jr.normal(jr.PRNGKey(702), (n, 1, 2)) * 0.5
+    wrap = fields["cde_wrapper"].CDEWrapperVectorField(inner, H)
+    out = wrap(t0, feats, (ctrl, FakeDataControl(dX)))
+    np.savez(
+        os.path.join(args.out, "cde_wrapper_vf.npz"),
+        feats=np.asarray(feats), A=np.asarray(A), dA=np.asarray(dA),
+        dX=np.asarray(dX), out=np.asarray(out), key_seed=32,
+        probe_l0_linear_w=np.asarray(
+            inner.gnn_layers[0].conv_layer.linear.weight),
+        **meta,
+    )
+    print(f"golden cde_wrapper_vf: out {np.asarray(out).shape}")
+
+    E = 2
+    f_func = fields["nn"].FinalTanhF(
+        input_dim=H, hidden_dim=H, output_dim=H * E, num_layers=2,
+        key=jr.PRNGKey(33),
+    )
+    g_func = fields["nn"].FinalTanhF(
+        input_dim=H, hidden_dim=H, output_dim=H * H, num_layers=2,
+        key=jr.PRNGKey(34),
+    )
+    y_hz = jnp.stack([feats, feats[::-1]], axis=0)  # (2, n, H)
+    dX2 = jr.normal(jr.PRNGKey(703), (n, E)) * 0.5
+    wrap = fields["stcde_wrapper"].STCDEWrapperVectorField(f_func, g_func, E)
+    out = wrap(t0, y_hz, FakeDataControl(dX2))
+    np.savez(
+        os.path.join(args.out, "stcde_wrapper_vf.npz"),
+        feats=np.asarray(feats), A=np.asarray(A), dA=np.asarray(dA),
+        dX=np.asarray(dX2), out=np.asarray(out), key_seed=33,
+        probe_f_linear_in_w=np.asarray(f_func.linear_in.weight),
+        probe_g_linear_in_w=np.asarray(g_func.linear_in.weight),
+        **meta,
+    )
+    print(f"golden stcde_wrapper_vf: out {np.asarray(out).shape}")
+
+    dX3 = jr.normal(jr.PRNGKey(704), (n, E, 2)) * 0.5
+    wrap = fields["pgt_stcde_wrapper"].PGTSTCDEWrapperVectorField(
+        f_func, g_func, E
+    )
+    out = wrap(t0, y_hz, FakeDataControl(dX3))
+    np.savez(
+        os.path.join(args.out, "pgt_stcde_wrapper_vf.npz"),
+        feats=np.asarray(feats), A=np.asarray(A), dA=np.asarray(dA),
+        dX=np.asarray(dX3), out=np.asarray(out), key_seed=33,
+        probe_f_linear_in_w=np.asarray(f_func.linear_in.weight),
+        **meta,
+    )
+    print(f"golden pgt_stcde_wrapper_vf: out {np.asarray(out).shape}")
+
+    # --- discrete baselines (astgcn.py / dcrnn.py / stid_gcn.py) ---
+    n2, T2, F2 = 8, 8, 3
+    backbones = [
+        {"K": 2, "num_of_chev_filters": F2, "num_of_time_filters": F2,
+         "time_conv_strides": T2},
+        {"K": 2, "num_of_chev_filters": F2, "num_of_time_filters": F2,
+         "time_conv_strides": 1},
+    ]
+    model = fields["astgcn"].ASTGCN(
+        num_for_prediction=1, backbones=backbones, num_vertices=n2,
+        node_embed_dim=4, num_features=F2, num_timesteps=T2,
+        key=jr.PRNGKey(40),
+    )
+    x_seq = jr.normal(jr.PRNGKey(705), (T2, n2, F2))
+    out = model(x_seq, jr.PRNGKey(41))
+    np.savez(
+        os.path.join(args.out, "astgcn_model.npz"),
+        x_seq=np.asarray(x_seq), out=np.asarray(out), key_seed=40,
+        probe_node_embeddings=np.asarray(model.node_embeddings),
+        **meta,
+    )
+    print(f"golden astgcn_model: out {np.asarray(out).shape}")
+
+    model = fields["dcrnn"].DCRNNModelSingleStep(
+        num_node=n2, input_dim=F2, hidden_dim=6, output_dim=F2, order=2,
+        num_layers=1, key=jr.PRNGKey(42),
+    )
+    adj_seq = jr.uniform(jr.PRNGKey(706), (T2, n2, n2)) * 0.3
+    out = model(x_seq, adj_seq)
+    np.savez(
+        os.path.join(args.out, "dcrnn_model.npz"),
+        x_seq=np.asarray(x_seq), adj_seq=np.asarray(adj_seq),
+        out=np.asarray(out), key_seed=42,
+        probe_projection_w=np.asarray(model.projection.weight),
+        **meta,
+    )
+    print(f"golden dcrnn_model: out {np.asarray(out).shape}")
+
+    # Dropout p=0.0: the goldens pin the deterministic math (convs, GLU,
+    # graph generator, interleave), not equinox's dropout RNG stream.
+    # memory_dim1/2 must equal T/2 and T/4 (the post-split time lengths the
+    # DGCN memories broadcast against).
+    model = fields["stid_gcn"].STIDGCN(
+        input_dim=1, num_nodes=n2, num_time_steps=T2, channels=8,
+        output_len=1, granularity=24, dropout=0.0, memory_dim1=T2 // 2,
+        memory_dim2=T2 // 4, key=jr.PRNGKey(43),
+    )
+    x_stid = jr.normal(jr.PRNGKey(707), (T2, n2, 1))
+    out = model(x_stid, jr.PRNGKey(44), train=False)
+    np.savez(
+        os.path.join(args.out, "stid_gcn_model.npz"),
+        x_seq=np.asarray(x_stid), out=np.asarray(out), key_seed=43,
+        probe_memory1=np.asarray(model.tree.memory1),
+        **meta,
+    )
+    print(f"golden stid_gcn_model: out {np.asarray(out).shape}")
+
+    # --- primitive-fidelity + trajectory goldens (REAL equinox only) -------
+    # These remove the documented assumption that gncde_tpu.nn's primitives
+    # match equinox's (VERDICT r2 missing #5): run this script on any machine
+    # with equinox (and diffrax for the trajectory) installed and commit the
+    # extra npz files -- tests/test_primitive_fidelity.py and the trajectory
+    # test activate automatically when the files appear.
+    if not STUBBED:
+        import equinox as realeqx
+
+        kp = jr.PRNGKey(900)
+        lin = realeqx.nn.Linear(8, 5, key=kp)
+        x1 = jr.normal(jr.PRNGKey(901), (8,))
+        np.savez(
+            os.path.join(args.out, "eqx_linear.npz"),
+            x=np.asarray(x1), out=np.asarray(lin(x1)),
+            weight=np.asarray(lin.weight), bias=np.asarray(lin.bias),
+            key_seed=900,
+        )
+        mlp = realeqx.nn.MLP(
+            in_size=6, out_size=3, width_size=8, depth=2,
+            activation=jax.nn.relu, key=jr.PRNGKey(902),
+        )
+        x2 = jr.normal(jr.PRNGKey(903), (6,))
+        np.savez(
+            os.path.join(args.out, "eqx_mlp.npz"),
+            x=np.asarray(x2), out=np.asarray(mlp(x2)),
+            l0_w=np.asarray(mlp.layers[0].weight),
+            l0_b=np.asarray(mlp.layers[0].bias),
+            last_w=np.asarray(mlp.layers[-1].weight),
+            key_seed=902,
+        )
+        rms = realeqx.nn.RMSNorm(8)
+        x3 = jr.normal(jr.PRNGKey(904), (8,))
+        np.savez(
+            os.path.join(args.out, "eqx_rmsnorm.npz"),
+            x=np.asarray(x3), out=np.asarray(rms(x3)),
+            weight=np.asarray(rms.weight), key_seed=904,
+        )
+        print("primitive goldens written (real equinox)")
+
+        try:
+            import diffrax  # noqa: F401
+
+            sys.path.insert(0, os.path.join(args.ref, "src"))
+            from models.graph_neural_cde import GraphNeuralCDE  # type: ignore
+
+            vf_ref = fields["perm_equiv"].PermEquivGraphVectorField(
+                input_dim=H, hidden_dim=H, output_dim=H, num_layers=2,
+                data_embed_dim=1, num_nodes=n, key=jr.PRNGKey(60),
+            )
+
+            class _Cfg:  # the pydantic fields GraphNeuralCDE reads
+                hidden_dim = H
+                method = "Tsit5"
+                return_sequence = True
+
+            cde = GraphNeuralCDE(
+                cfg=_Cfg(), vector_field=vf_ref, interpolation="cubic",
+                model_key=jr.PRNGKey(61),
+            )
+            ts_traj = jnp.linspace(0.0, 1.0, 8)
+            A_path = jr.uniform(jr.PRNGKey(905), (8, n, n)) * 0.1
+            tchan = jnp.broadcast_to(ts_traj[:, None, None], A_path.shape)
+            X = jnp.stack([tchan, A_path], axis=-1)
+            coeffs = diffrax.backward_hermite_coefficients(ts_traj, X)
+            x0 = jr.normal(jr.PRNGKey(906), (n, 1))
+            ys = cde(ts_traj, coeffs, x0)
+            np.savez(
+                os.path.join(args.out, "gncde_trajectory.npz"),
+                ts=np.asarray(ts_traj), A_path=np.asarray(A_path),
+                x0=np.asarray(x0), ys=np.asarray(ys),
+                key_vf=60, key_model=61, n=n, hidden=H,
+            )
+            print("trajectory golden written (real diffrax)")
+        except ImportError:
+            print("diffrax absent: trajectory golden skipped")
 
     print("done;", "stub-equinox" if STUBBED else "REAL equinox")
 
