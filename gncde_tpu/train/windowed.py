@@ -243,6 +243,16 @@ class _WindowedTrainerBase(pydantic.BaseModel):
     # reference processes windows one at a time with batch_size=1,
     # tgb_dataset.py:202-218). Significant on accelerators.
     batch_windows: bool = False
+    # Scaled-n sparse message passing for the LARGE window graphs (twitter
+    # n=1000, tgbn-genre n=1505): convert each window's dense graph-path
+    # coefficients to interp.SparseMatrixControl (ELL) host-side, making the
+    # solver hot loop O(nnz * H) instead of O(n^2 * H) and the coefficient
+    # storage O(T * nnz). Exact at any density (ELL pattern = union of
+    # nonzero coefficient entries). Mirrors the dyn trainer's knob
+    # (trainer.py sparse_control); composes with batch_windows (the batched
+    # from_stacked path shares one K across the stack).
+    sparse_control: bool = False
+    sparse_max_degree: tp.Optional[int] = None
 
     model_config = pydantic.ConfigDict(extra="ignore")
     _run_key: tp.Any = pydantic.PrivateAttr(default=None)
@@ -286,6 +296,30 @@ class _WindowedTrainerBase(pydantic.BaseModel):
                 "Window batching: %d/%d/%d stacked groups",
                 len(train_loader), len(val_loader), len(test_loader),
             )
+
+        if self.sparse_control:
+            from ..interp import SparseMatrixControl
+
+            interpolation = getattr(self.model, "interpolation", "cubic")
+
+            def _sparsify(loader):
+                out = []
+                for d in loader:
+                    if "graph_path_coeffs" in d:
+                        d = dict(d)
+                        d["graph_path_coeffs"] = SparseMatrixControl.from_stacked(
+                            interpolation,
+                            jnp.asarray(d["t"]),
+                            d["graph_path_coeffs"],
+                            max_degree=self.sparse_max_degree,
+                        )
+                    out.append(d)
+                return type(loader)(out)
+
+            train_loader = _sparsify(train_loader)
+            val_loader = _sparsify(val_loader)
+            test_loader = _sparsify(test_loader)
+            logger.info("Sparse ELL control conversion done")
 
         model = self.model.build(model_key)
         metric_logger = MetricLogger(

@@ -395,3 +395,83 @@ def test_nan_guard_raises_after_max_restores(tmp_path, monkeypatch):
     )
     with pytest.raises(FloatingPointError, match="non-finite"):
         Trainer(**cfg).run()
+
+
+def test_tgb_sparse_control_genre_scale_e2e(tmp_path):
+    """TGB training at tgbn-genre scale (n=1505, reference
+    configs/tgb/genre/st_gncde_config.yaml:30-35) with the windowed
+    trainers' ``sparse_control`` knob: window coefficients become ELL
+    SparseMatrixControls host-side, so the solve is O(nnz * H) -- the
+    memory-feasibility route for the large-n config families."""
+    from gncde_tpu.train.windowed import TGBTrainer
+
+    n = 1505
+    rng = np.random.default_rng(3)
+    rows = ["timestamp,source,destination,weight"]
+    # Sparse activity: ~4 edges per node per snapshot window overall.
+    for t in range(8):
+        for _ in range(800):
+            s, d = rng.integers(0, n, 2)
+            rows.append(f"{t},{s},{d},{rng.uniform(0.1, 2.0):.4f}")
+    ddir = tmp_path / "tgbn-genre"
+    ddir.mkdir(parents=True)
+    (ddir / "tgbn-genre_edgelist.csv").write_text("\n".join(rows))
+
+    cfg = dict(
+        model=dict(
+            name="tgb_graph_neural_cde", hidden_dim=4, interpolation="cubic",
+            method="Tsit5", return_sequence=False, dt0=0.5,
+            vector_field=dict(
+                name="PermEquivGraphVectorField", hidden_dim=4, num_layers=2,
+                data_embed_dim=4, num_nodes=n,
+            ),
+        ),
+        dataset=dict(
+            name="tgbn-genre", window_size=3, stride=3, frequency="None",
+            data_dir=str(tmp_path), interpolation="cubic",
+            cache_dir=str(tmp_path / "cache"),
+        ),
+        optimiser=dict(
+            name="adamw", weight_decay=1e-4, gradient_clipping=True,
+            schedule=dict(name="constant_schedule", value=1e-3),
+        ),
+        epochs=1, eval_freq=1, log_freq=1, min_epochs=0,
+        sparse_control=True,
+        checkpoint_dir=str(tmp_path / "ckpt"), logger_name="test-tgb-sparse",
+        wandb=dict(project="test", mode="disabled"),
+    )
+    summary = TGBTrainer(**cfg).run()
+    assert "test_ndcg@10" in summary
+    assert 0.0 <= summary["test_ndcg@10"] <= 1.0
+
+
+def test_pgt_sparse_control_e2e(tmp_path):
+    """PGT (england-covid) with sparse_control: the same knob routes the
+    window coefficients through ELL sparse message passing."""
+    from gncde_tpu.train.windowed import PGTTrainer
+
+    cfg = dict(
+        model=dict(
+            name="pgt_graph_neural_cde", hidden_dim=4, data_dim=8,
+            feature_dim=1, interpolation="cubic", method="Tsit5",
+            return_sequence=False,
+            vector_field=dict(
+                name="PermEquivGraphVectorField", hidden_dim=4, num_layers=2,
+                data_embed_dim=8, num_nodes=129,
+            ),
+        ),
+        dataset=dict(
+            name="england-covid", window_size=5, stride=5,
+            interpolation="cubic", cache_dir=str(tmp_path / "cache"),
+        ),
+        optimiser=dict(
+            name="adamw", weight_decay=1e-4, gradient_clipping=True,
+            schedule=dict(name="constant_schedule", value=1e-3),
+        ),
+        epochs=1, eval_freq=1, log_freq=1, min_epochs=0,
+        sparse_control=True,
+        checkpoint_dir=str(tmp_path / "ckpt"), logger_name="test-pgt-sparse",
+        wandb=dict(project="test", mode="disabled"),
+    )
+    summary = PGTTrainer(**cfg).run()
+    assert np.isfinite(summary["best_selection"])
