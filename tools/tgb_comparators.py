@@ -78,11 +78,14 @@ def main(argv=None):
             vals.append(float(masked_mean_ndcg(label, pred, mask, k=10)))
         return float(np.mean(vals)) if vals else float("nan")
 
+    rng = np.random.default_rng(0)
     predictors = {
         "copy_last": lambda w: np.asarray(w["x_t"])[-1],
         "popularity": lambda w: np.broadcast_to(
             pop, np.asarray(w["true_y"]).shape
         ),
+        # Chance floor: any trained model must clear this.
+        "random": lambda w: rng.random(np.asarray(w["true_y"]).shape),
     }
     out = {}
     for split_name, windows in (("val", val), ("test", test)):
