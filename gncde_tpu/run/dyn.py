@@ -15,10 +15,11 @@ import argparse
 import yaml
 
 from ..train.trainer import Trainer
-from .common import apply_overrides
+from .common import apply_overrides, enable_compilation_cache
 
 
 def main(argv=None):
+    enable_compilation_cache()
     # Multi-host bootstrap (no-op single-process; env-driven on pods).
     from ..parallel import multihost
 

@@ -11,12 +11,13 @@ import argparse
 import yaml
 
 from ..train.windowed import PGTTrainer, RecurrentPGTTrainer
-from .common import apply_overrides
+from .common import apply_overrides, enable_compilation_cache
 
 RECURRENT_MODELS = {"astgcn", "dcrnn", "stid_gcn"}
 
 
 def main(argv=None):
+    enable_compilation_cache()
     # Multi-host bootstrap (no-op single-process; env-driven on pods).
     from ..parallel import multihost
 
