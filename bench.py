@@ -165,9 +165,12 @@ def solver_steps_per_s(vf, ts, coeffs, y0):
     return total_steps / dt, dt
 
 
-def train_step_time(vf, ts, coeffs, y0):
+def train_step_time(vf, ts, coeffs, y0, adjoint="checkpointed"):
     """One jitted value_and_grad + sgd-update step through the full
-    adaptive solve (checkpointed adjoint), batch-vmapped."""
+    adaptive solve, batch-vmapped. ``adjoint``: "checkpointed" (sqrt
+    memory) or "full" (store-all -- skips the backward's forward replay;
+    the faster choice when max_steps * state fits HBM, as at the
+    flagship shape)."""
     from gncde_tpu.nn import apply_updates, filter_value_and_grad
     from gncde_tpu.solve import ODETerm, PIDController, SaveAt, diffeqsolve
 
@@ -181,7 +184,7 @@ def train_step_time(vf, ts, coeffs, y0):
                 term, "Tsit5", t0=ts[0], t1=ts[-1], dt0=None, y0=y0_i,
                 args=ctrl,
                 stepsize_controller=PIDController(rtol=1e-3, atol=1e-6),
-                saveat=SaveAt(t1=True), max_steps=256,
+                saveat=SaveAt(t1=True), max_steps=256, adjoint=adjoint,
             )
             return sol.ys
 
@@ -267,6 +270,28 @@ def roofline_frac(bytes_per_eval: float, secs_per_eval: float) -> float:
     return (bytes_per_eval / secs_per_eval) / HBM_BW
 
 
+def megakernel_bytes_per_eval(n: int) -> float:
+    """HBM bytes one whole-VMEM megakernel vf eval must move (n <= 640).
+
+    The coefficient interval slice is the only O(n^2) traffic: XLA
+    dynamic-slices the 4 bf16 planes out of the (T-1, n, n) stacks (read +
+    copy write, 2 x 8n^2 bytes -- the copy is unavoidable because a
+    pallas_call can't consume a fused slice) and the kernel reads the copies
+    (8n^2). Everything else (Z, params, output) is O(nH).
+    """
+    return 3 * 4 * n * n * 2  # 3 passes x 4 planes x bf16
+
+
+def tiled_bytes_per_eval(n: int, layers: int = LAYERS) -> float:
+    """HBM bytes one tiled-path vf eval moves (n > 640, ops/pallas/tiled.py).
+
+    Per eval: slice-copy the 4 bf16 planes (16n^2 r+w), materialise bf16
+    A(t)/dA(t) once (read 8n^2, write 4n^2), then each of L layer kernels
+    re-reads the 2 planes (4n^2 each).
+    """
+    return (16 + 8 + 4 + 4 * layers) * n * n
+
+
 def main():
     vf, ts, coeffs, y0 = build()
 
@@ -312,12 +337,26 @@ def main():
     except Exception as exc:  # noqa: BLE001
         extras["train_step_s_error"] = repr(exc)
     try:
-        extras["scaled_n2048_edges_per_s"] = scaled_n_edges_per_s()
+        extras["train_step_full_adjoint_s"] = train_step_time(
+            vf, ts, coeffs, y0, adjoint="full"
+        )
+    except Exception as exc:  # noqa: BLE001
+        extras["train_step_full_adjoint_error"] = repr(exc)
+    try:
+        scaled_eps, scaled_secs = scaled_n_edges_per_s()
+        extras["scaled_n2048_edges_per_s"] = scaled_eps
+        extras["hbm_roofline_frac_n2048"] = roofline_frac(
+            tiled_bytes_per_eval(2048), scaled_secs
+        )
     except Exception as exc:  # noqa: BLE001
         extras["scaled_n2048_error"] = repr(exc)
 
     edges = N_NODES * N_NODES * BATCH * LAYERS * EVALS_PER_RUN
     edges_per_s = edges / native_t
+    extras["hbm_roofline_frac_n400"] = roofline_frac(
+        megakernel_bytes_per_eval(N_NODES),
+        native_t / (BATCH * EVALS_PER_RUN),
+    )
     print(
         json.dumps(
             {

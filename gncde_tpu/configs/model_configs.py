@@ -37,6 +37,9 @@ class GraphNeuralCDECfg(pydantic.BaseModel):
     method: tp.Literal["Tsit5", "Dopri5", "Dopri8", "Bosh3", "Euler", "Heun", "Kvaerno3", "Kvaerno3Picard", "KenCarp4", "Kvaerno4", "Kvaerno5"] = "Tsit5"
     return_sequence: bool = True
     max_steps: int = 512
+    # "checkpointed" (sqrt-memory adjoint) or "full" (store-all: skips the
+    # backward's forward replay; faster when max_steps * state fits HBM).
+    adjoint: tp.Literal["checkpointed", "full"] = "checkpointed"
 
     model_config = pydantic.ConfigDict(extra="forbid")
 
@@ -50,6 +53,7 @@ class GraphNeuralCDECfg(pydantic.BaseModel):
             method=self.method,
             return_sequence=self.return_sequence,
             max_steps=self.max_steps,
+            adjoint=self.adjoint,
             key=model_key,
         )
 
@@ -63,6 +67,9 @@ class GraphNeuralODECfg(pydantic.BaseModel):
     method: tp.Literal["Tsit5", "Dopri5", "Dopri8", "Bosh3", "Euler", "Heun", "Kvaerno3", "Kvaerno3Picard", "KenCarp4", "Kvaerno4", "Kvaerno5"] = "Tsit5"
     return_sequence: bool = True
     max_steps: int = 512
+    # "checkpointed" (sqrt-memory adjoint) or "full" (store-all: skips the
+    # backward's forward replay; faster when max_steps * state fits HBM).
+    adjoint: tp.Literal["checkpointed", "full"] = "checkpointed"
 
     model_config = pydantic.ConfigDict(extra="forbid")
 
@@ -76,6 +83,7 @@ class GraphNeuralODECfg(pydantic.BaseModel):
             method=self.method,
             return_sequence=self.return_sequence,
             max_steps=self.max_steps,
+            adjoint=self.adjoint,
             key=model_key,
         )
 

@@ -90,6 +90,7 @@ class GraphNeuralCDE(Module):
     interpolation: str = static_field()
     return_sequence: bool = static_field()
     max_steps: int = static_field()
+    adjoint: str = static_field()
 
     def __init__(
         self,
@@ -99,6 +100,7 @@ class GraphNeuralCDE(Module):
         method: str = "Tsit5",
         return_sequence: bool = True,
         max_steps: int = 1024,
+        adjoint: str = "checkpointed",
         *,
         key: jax.Array,
     ):
@@ -113,6 +115,7 @@ class GraphNeuralCDE(Module):
         self.interpolation = interpolation
         self.return_sequence = return_sequence
         self.max_steps = max_steps
+        self.adjoint = adjoint
 
     def __call__(
         self,
@@ -120,7 +123,7 @@ class GraphNeuralCDE(Module):
         coeffs_adj,
         x0: jax.Array,
         evolving_out: bool = True,
-        adjoint: str = "checkpointed",
+        adjoint: tp.Optional[str] = None,
     ) -> jax.Array:
         control_adj = make_control(self.interpolation, ts, coeffs_adj, slim=True)
         term = ODETerm(self.vector_field)
@@ -138,7 +141,7 @@ class GraphNeuralCDE(Module):
             stepsize_controller=PIDController(rtol=1e-3, atol=1e-6),
             saveat=saveat,
             max_steps=self.max_steps,
-            adjoint=adjoint,
+            adjoint=adjoint or self.adjoint,
         )
 
         if self.return_sequence:
@@ -158,6 +161,7 @@ class GraphNeuralODE(Module):
     interpolation: str = static_field()
     return_sequence: bool = static_field()
     max_steps: int = static_field()
+    adjoint: str = static_field()
 
     def __init__(
         self,
@@ -167,6 +171,7 @@ class GraphNeuralODE(Module):
         method: str = "Tsit5",
         return_sequence: bool = True,
         max_steps: int = 1024,
+        adjoint: str = "checkpointed",
         *,
         key: jax.Array,
     ):
@@ -183,6 +188,7 @@ class GraphNeuralODE(Module):
         self.interpolation = interpolation
         self.return_sequence = return_sequence
         self.max_steps = max_steps
+        self.adjoint = adjoint
 
     def __call__(
         self,
@@ -192,7 +198,7 @@ class GraphNeuralODE(Module):
         adjacency_list: tp.Optional[jax.Array] = None,
         events_time: tp.Optional[jax.Array] = None,
         evolving_out: bool = True,
-        adjoint: str = "checkpointed",
+        adjoint: tp.Optional[str] = None,
     ) -> jax.Array:
         control_adj = make_control(self.interpolation, ts, coeffs_adj, slim=True)
         args = (control_adj, adjacency_list, events_time)
@@ -211,7 +217,7 @@ class GraphNeuralODE(Module):
             stepsize_controller=PIDController(rtol=1e-3, atol=1e-6),
             saveat=saveat,
             max_steps=self.max_steps,
-            adjoint=adjoint,
+            adjoint=adjoint or self.adjoint,
         )
 
         if self.return_sequence:

@@ -252,8 +252,13 @@ def diffeqsolve(
 ) -> Solution:
     """Integrate ``dy/dt = vf(t, y, args)`` from t0 to t1.
 
-    adjoint: "checkpointed" (differentiable bounded scan) or "none"
-    (while_loop with early exit; faster for inference, not differentiable).
+    adjoint: "checkpointed" (differentiable bounded scan with
+    sqrt-checkpointing -- O(sqrt(max_steps)) memory, ~1x forward replay in
+    the backward), "full" (differentiable, NO rematerialisation: XLA stores
+    every step's residuals -- trades O(max_steps * state) HBM for skipping
+    the replay; the right choice when the state fits, e.g. the flagship
+    dyn config), or "none" (while_loop with early exit; faster for
+    inference, not differentiable).
 
     jump_ts: optional sorted knot times where the vector field loses
     smoothness (e.g. control-path interpolation knots). Steps are clamped to
@@ -427,8 +432,9 @@ def diffeqsolve(
         # scatter dominates training cost for dense SaveAt grids).
         outer, inner = _chunk_sizes(max_steps)
         collect = saveat.ts is not None
+        maybe_ckpt = jax.checkpoint if adjoint == "checkpointed" else (lambda f: f)
 
-        @jax.checkpoint
+        @maybe_ckpt
         def chunk(core):
             def body(c, _):
                 new_c, aux = step_core(c)

@@ -424,3 +424,28 @@ def test_kvaerno5_stiff_decay_accuracy():
         np.asarray(sol.ys[1:, 0]), np.cos(np.asarray(ts[1:])), atol=2e-3
     )
     assert int(sol.stats["num_accepted_steps"]) < 200
+
+
+def test_full_adjoint_matches_checkpointed():
+    """adjoint="full" (store-all, no remat) returns the same solution and
+    the same gradients as the sqrt-checkpointed adjoint."""
+    ts = jnp.linspace(0.0, 1.0, 5)
+
+    def make_loss(adjoint):
+        def loss(a):
+            term = ODETerm(lambda t, y, args: -a * y + 0.1 * jnp.sin(y + t))
+            sol = diffeqsolve(
+                term, "tsit5", 0.0, 1.0, None, jnp.ones((3,)),
+                saveat=SaveAt(ts=ts),
+                stepsize_controller=PIDController(1e-5, 1e-8),
+                max_steps=128, adjoint=adjoint,
+            )
+            return jnp.sum(sol.ys ** 2)
+
+        return loss
+
+    a = jnp.array(0.8)
+    v_ck, g_ck = jax.value_and_grad(make_loss("checkpointed"))(a)
+    v_fl, g_fl = jax.value_and_grad(make_loss("full"))(a)
+    np.testing.assert_allclose(v_fl, v_ck, rtol=1e-6)
+    np.testing.assert_allclose(g_fl, g_ck, rtol=1e-6)
