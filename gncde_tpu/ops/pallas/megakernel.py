@@ -348,7 +348,7 @@ def _mk_bwd(res, g):
         from . import megakernel_bwd
 
         d_t, d_Z, d_vf = megakernel_bwd.megakernel_vf_bwd(
-            coeffs, ts, t, Z, vf, g
+            coeffs, ts, t, Z, vf, g, need_t=need_t
         )
         return (
             None,

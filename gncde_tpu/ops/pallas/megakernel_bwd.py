@@ -50,7 +50,8 @@ MEGAKERNEL_BWD_MAX_N = 512
 
 
 def _make_bwd_kernel(
-    n: int, dims: tp.List[tp.Tuple[int, int]], bf16: bool, directed: bool
+    n: int, dims: tp.List[tp.Tuple[int, int]], bf16: bool, directed: bool,
+    need_tau: bool = True,
 ):
     """Build the fused backward kernel body.
 
@@ -77,7 +78,10 @@ def _make_bwd_kernel(
         a = a_ref[:].astype(jnp.float32)
         A = ((d * tau + c) * tau + b) * tau + a
         dA = (3.0 * d * tau + 2.0 * c) * tau + b
-        ddA = 6.0 * d * tau + 2.0 * c  # d(dA)/dtau, for the tau chain
+        # d(dA)/dtau, only needed when t's cotangent is requested (the
+        # adaptive solver detaches step placement, so training steps
+        # normally compile with need_tau=False and skip this chain).
+        ddA = (6.0 * d * tau + 2.0 * c) if need_tau else None
 
         Ah = A.astype(mm_dtype)
         dAh = dA.astype(mm_dtype)
@@ -87,23 +91,28 @@ def _make_bwd_kernel(
         # Shared reductions (2-D shapes throughout; see megakernel.py).
         rA = jnp.sum(A, axis=1, keepdims=True)
         rdA = jnp.sum(dA, axis=1, keepdims=True)
-        rddA = jnp.sum(ddA, axis=1, keepdims=True)
+        rddA = jnp.sum(ddA, axis=1, keepdims=True) if need_tau else None
         sA = jnp.sum(rA)
         sdA = jnp.sum(rdA)
-        sddA = jnp.sum(rddA)
+        sddA = jnp.sum(rddA) if need_tau else None
         rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
         eye = rows == cols
         diagA = jnp.sum(jnp.where(eye, A, 0.0), axis=1, keepdims=True)
         diagdA = jnp.sum(jnp.where(eye, dA, 0.0), axis=1, keepdims=True)
-        diagddA = jnp.sum(jnp.where(eye, ddA, 0.0), axis=1, keepdims=True)
+        diagddA = (
+            jnp.sum(jnp.where(eye, ddA, 0.0), axis=1, keepdims=True)
+            if need_tau else None
+        )
         if directed:
             # Column sums as (n, 1) row sums of the transposes -- Mosaic's
             # relayouts for (1, n) -> (n, 1) vectors are limited, (n, n)
             # transposes are fine (same trick as the forward kernel).
             cA = jnp.sum(At.astype(jnp.float32), axis=1, keepdims=True)
             cdA = jnp.sum(dAt.astype(jnp.float32), axis=1, keepdims=True)
-            cddA = jnp.sum(ddA.T, axis=1, keepdims=True)
+            cddA = (
+                jnp.sum(ddA.T, axis=1, keepdims=True) if need_tau else None
+            )
 
         def unpack(p):
             if directed:
@@ -273,11 +282,14 @@ def _make_bwd_kernel(
 
             # tau chain: matmul parts via <dA|ddA, P|Q>, rank parts via the
             # tau-derivatives of every reduction (d rA/dtau = rdA, etc.).
-            dtau += (1.0 + q["p1"][0]) * dp1[1] + (1.0 + q["p1"][1]) * jnp.sum(
-                ddA * P
-            )
-            dtau += q["p2"][0] * dp2[1] + q["p2"][1] * jnp.sum(ddA * Q)
-            if directed:
+            if not need_tau:
+                pass
+            else:
+                dtau += (1.0 + q["p1"][0]) * dp1[1] + (
+                    1.0 + q["p1"][1]
+                ) * jnp.sum(ddA * P)
+                dtau += q["p2"][0] * dp2[1] + q["p2"][1] * jnp.sum(ddA * Q)
+            if need_tau and directed:
                 ddvec_dt = (
                     q["p3"][0] * diagdA + q["p3"][1] * diagddA
                     + (q["p6"][0] * cdA + q["p6"][1] * cddA) / n
@@ -290,7 +302,7 @@ def _make_bwd_kernel(
                     + q["p5"][0] * cdA + q["p5"][1] * cddA
                     + q["p5p"][0] * rdA + q["p5p"][1] * rddA
                 ) / n
-            else:
+            elif need_tau:
                 ddvec_dt = (
                     q["p3"][0] * diagdA + q["p3"][1] * diagddA
                     + (q["p6"][0] * rdA + q["p6"][1] * rddA) / n
@@ -298,10 +310,11 @@ def _make_bwd_kernel(
                 )
                 du_dt = (q["p4"][0] * rdA + q["p4"][1] * rddA) / n
                 dv_dt = (q["p5"][0] * rdA + q["p5"][1] * rddA) / n
-            dtau += jnp.sum(gM_row * ddvec_dt)
-            dtau += jnp.sum(du_vec * du_dt)
-            dtau += jnp.sum(dv_vec * dv_dt)
-            dtau += dc7 * (q["p7"][0] + q["p7"][1]) * sdA / n**2
+            if need_tau:
+                dtau += jnp.sum(gM_row * ddvec_dt)
+                dtau += jnp.sum(du_vec * du_dt)
+                dtau += jnp.sum(dv_vec * dv_dt)
+                dtau += dc7 * (q["p7"][0] + q["p7"][1]) * sdA / n**2
 
             # dM: ONE combined-operand matmul covers B1^T g + B2 g, then the
             # rank-structured vector corrections.
@@ -346,14 +359,15 @@ def _make_bwd_kernel(
     return kernel, nparams
 
 
-def bwd_call(tau, slices, Z, G, layer_arrays, n, dims, bf16, directed):
+def bwd_call(tau, slices, Z, G, layer_arrays, n, dims, bf16, directed,
+             need_tau=True):
     """Invoke the fused backward kernel; returns (dtau, dZ, per-layer grads).
 
     slices: the 4 (n, n) interval coefficient planes; layer_arrays: the
     megakernel._layer_param_arrays flattening.
     """
     L = len(dims)
-    kernel, nparams = _make_bwd_kernel(n, dims, bf16, directed)
+    kernel, nparams = _make_bwd_kernel(n, dims, bf16, directed, need_tau)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # tau (1, 1)
@@ -395,7 +409,7 @@ def bwd_call(tau, slices, Z, G, layer_arrays, n, dims, bf16, directed):
     return dtau, dZ, per_layer
 
 
-def megakernel_vf_bwd(coeffs, ts, t, Z, vf, g):
+def megakernel_vf_bwd(coeffs, ts, t, Z, vf, g, need_t=True):
     """Full fused cotangent for megakernel_vf_eval: (d_t, d_Z, d_vf).
 
     d_vf is pulled back into the vector field's pytree structure via
@@ -422,7 +436,8 @@ def megakernel_vf_bwd(coeffs, ts, t, Z, vf, g):
         type(vf.gnn_layers[0]).__name__ == "ConvEquivFusionDirectedLayer"
     )
     dtau, dZ, per_layer = bwd_call(
-        tau, slices, Z, g, layer_arrays, n, dims, bf16, directed
+        tau, slices, Z, g, layer_arrays, n, dims, bf16, directed,
+        need_tau=need_t,
     )
 
     def extract(v):
