@@ -62,6 +62,11 @@ class BCSR(Module):
     block_idx: jax.Array
     blocks: jax.Array
     n: int = static_field()
+    # Per-block-row count of VALID slots (slots >= nblocks[i] are zero
+    # padding whose block_idx is 0). Optional for direct constructions that
+    # only run the forward ops; required by the differentiable path so the
+    # values-VJP can zero padded slots (see slot_mask / bcsr_spmm_grad).
+    nblocks: tp.Optional[jax.Array] = None
 
     @property
     def block_size(self) -> int:
@@ -76,14 +81,23 @@ class BCSR(Module):
         return self.block_idx.shape[1]
 
     def astype(self, dtype) -> "BCSR":
-        return BCSR(self.block_idx, self.blocks.astype(dtype), self.n)
+        return BCSR(self.block_idx, self.blocks.astype(dtype), self.n, self.nblocks)
 
     def scale(self, c) -> "BCSR":
-        return BCSR(self.block_idx, c * self.blocks, self.n)
+        return BCSR(self.block_idx, c * self.blocks, self.n, self.nblocks)
 
     def combine(self, other: "BCSR", ca=1.0, cb=1.0) -> "BCSR":
         """``ca * self + cb * other`` for BCSRs sharing one block pattern."""
-        return BCSR(self.block_idx, ca * self.blocks + cb * other.blocks, self.n)
+        return BCSR(
+            self.block_idx, ca * self.blocks + cb * other.blocks, self.n,
+            self.nblocks,
+        )
+
+
+def slot_mask(block_idx: jax.Array, nblocks: jax.Array) -> jax.Array:
+    """(nb, kb) float32 mask: 1.0 on valid slots, 0.0 on zero padding."""
+    kb = block_idx.shape[1]
+    return (jnp.arange(kb)[None, :] < nblocks[:, None]).astype(jnp.float32)
 
 
 def bcsr_from_dense(
@@ -105,10 +119,14 @@ def bcsr_from_dense(
         kb = max_blocks_per_row
     block_idx = np.zeros((nb, kb), np.int32)
     blocks = np.zeros((nb, kb, bs, bs), np.float32)
+    nblocks = np.zeros((nb,), np.int32)
     for i, z in enumerate(nz):
         block_idx[i, : len(z)] = z
         blocks[i, : len(z)] = tiles[i, z]
-    return BCSR(jnp.asarray(block_idx), jnp.asarray(blocks), n)
+        nblocks[i] = len(z)
+    return BCSR(
+        jnp.asarray(block_idx), jnp.asarray(blocks), n, jnp.asarray(nblocks)
+    )
 
 
 def bcsr_to_dense(b: BCSR) -> jax.Array:
@@ -168,7 +186,11 @@ def bcsr_sddmm_xla(
 # ---------------------------------------------------------------------------
 
 
-def _should_interpret() -> bool:
+def _use_xla_fallback() -> bool:
+    """On non-TPU backends the public ops dispatch to the XLA reference
+    implementations (NOT interpret-mode Pallas -- the kernel bodies are
+    exercised on CPU via the private ``_bcsr_*_pallas(interpret=True)``
+    entry points in tests/test_bcsr.py)."""
     return jax.default_backend() != "tpu"
 
 
@@ -219,7 +241,7 @@ def _bcsr_spmm_pallas(b: BCSR, M: jax.Array, interpret: bool = False):
 
 def bcsr_spmm(b: BCSR, M: jax.Array) -> jax.Array:
     """``A @ M`` -- Pallas block kernel on TPU, XLA reference elsewhere."""
-    if _should_interpret():
+    if _use_xla_fallback():
         return bcsr_spmm_xla(b, M)
     return _bcsr_spmm_pallas(b, M)
 
@@ -273,7 +295,7 @@ def bcsr_sddmm(
     """Sampled ``X @ Y^T`` at a blocked-ELL pattern: the VJP of
     :func:`bcsr_spmm` w.r.t. ``blocks`` (cotangent G in X's slot, M in Y's)
     and the building block for attention-style scores over graph blocks."""
-    if _should_interpret():
+    if _use_xla_fallback():
         return bcsr_sddmm_xla(block_idx, X, Y, block_size)
     return _bcsr_sddmm_pallas(block_idx, X, Y, block_size)
 
@@ -283,21 +305,30 @@ def bcsr_sddmm(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def bcsr_spmm_grad(blocks, block_idx, blocks_T, block_idx_T, M, n):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def bcsr_spmm_grad(blocks, block_idx, blocks_T, block_idx_T, valid, M, n):
     """Differentiable ``A @ M`` with explicit transposed layout.
 
     d/dM = A^T @ G rides the SAME SpMM kernel on the transposed layout;
-    d/dblocks = SDDMM(G, M) at A's pattern. Pass layouts from
+    d/dblocks = SDDMM(G, M) at A's pattern, with ``valid`` (the
+    :func:`slot_mask` of the forward layout) zeroing the padded slots --
+    padding's block_idx is 0, so an unmasked SDDMM would deposit spurious
+    ``X_i @ Y_0^T`` gradient there and a subsequent optimizer step would
+    corrupt the forward (padded blocks must stay zero). Pass layouts from
     :func:`bcsr_transpose`; ``n`` (static) is the logical dimension.
+
+    NOTE: ``blocks_T`` receives ZERO gradient by design -- this op assumes
+    the adjacency VALUES are data (as in every control-path use). If
+    ``blocks`` is ever trained, rebuild the transposed layout from the
+    updated values after each optimizer step, or the d/dM path goes stale.
     """
     b = BCSR(block_idx, blocks, n)
     return bcsr_spmm(b, M)
 
 
-def _bsg_fwd(blocks, block_idx, blocks_T, block_idx_T, M, n):
-    out = bcsr_spmm_grad(blocks, block_idx, blocks_T, block_idx_T, M, n)
-    return out, (blocks, block_idx, blocks_T, block_idx_T, M)
+def _bsg_fwd(blocks, block_idx, blocks_T, block_idx_T, valid, M, n):
+    out = bcsr_spmm_grad(blocks, block_idx, blocks_T, block_idx_T, valid, M, n)
+    return out, (blocks, block_idx, blocks_T, block_idx_T, valid, M)
 
 
 def _int_zero(x):
@@ -305,9 +336,9 @@ def _int_zero(x):
 
 
 def _bsg_bwd(n, res, g):
-    blocks, block_idx, blocks_T, block_idx_T, M = res
+    blocks, block_idx, blocks_T, block_idx_T, valid, M = res
     bs = blocks.shape[-1]
-    d_blocks = bcsr_sddmm(block_idx, g, M, bs)
+    d_blocks = bcsr_sddmm(block_idx, g, M, bs) * valid[:, :, None, None]
     bT = BCSR(block_idx_T, blocks_T, n)
     d_M = bcsr_spmm(bT, g).astype(M.dtype)
     return (
@@ -315,6 +346,7 @@ def _bsg_bwd(n, res, g):
         _int_zero(block_idx),
         jnp.zeros_like(blocks_T),
         _int_zero(block_idx_T),
+        jnp.zeros_like(valid),
         d_M,
     )
 

@@ -267,6 +267,10 @@ def diffeqsolve(
     straddles a derivative kink -- the control path's spline knots are the
     dominant rejection source for GNCDE workloads.
     """
+    if adjoint not in ("checkpointed", "full", "none"):
+        raise ValueError(
+            f"adjoint must be 'checkpointed', 'full' or 'none'; got {adjoint!r}"
+        )
     tab = get_tableau(solver)
     vf = terms.vf if isinstance(terms, ODETerm) else terms
     if stepsize_controller is None:

@@ -116,9 +116,11 @@ def test_spmm_grad_custom_vjp():
     bT = B.bcsr_transpose(b)
     M = jr.normal(jr.PRNGKey(7), (48, 8))
 
+    valid = B.slot_mask(b.block_idx, b.nblocks)
+
     def loss(blocks, M_):
         out = B.bcsr_spmm_grad(blocks, b.block_idx, bT.blocks, bT.block_idx,
-                               M_, b.n)
+                               valid, M_, b.n)
         return jnp.sum(out ** 2)
 
     def loss_ref(blocks, M_):
@@ -128,5 +130,12 @@ def test_spmm_grad_custom_vjp():
     (db_r, dM_r) = jax.grad(loss_ref, argnums=(0, 1))(b.blocks, M)
     np.testing.assert_allclose(np.asarray(dM), np.asarray(dM_r),
                                rtol=1e-4, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(db), np.asarray(db_r),
+    # Valid slots match the AD reference; padded slots are EXACTLY zero
+    # (the unmasked AD reference deposits spurious X_i @ Y_0^T there --
+    # a padded block that drifts nonzero corrupts the forward SpMM).
+    vm = np.asarray(valid)[:, :, None, None]
+    np.testing.assert_allclose(np.asarray(db) * vm, np.asarray(db_r) * vm,
                                rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(db) * (1 - vm), 0.0)
+    # Rows with padding exist in this layout (else the mask is untested).
+    assert float(np.asarray(valid).min()) == 0.0

@@ -89,6 +89,38 @@ def test_pgt_trainer_e2e(tmp_path):
     assert np.isfinite(summary["best_selection"])
 
 
+def test_pgt_gnode_trainer_e2e(tmp_path):
+    """PGT GNODE (piecewise-constant adjacency, reference
+    configs/pgt/england/gnode_config.yaml): one training window through the
+    solver trainer with the GNODEFloorVectorField arg tuple."""
+    from gncde_tpu.train.windowed import PGTTrainer
+
+    cfg = dict(
+        model=dict(
+            name="pgt_graph_neural_ode", hidden_dim=4, data_dim=8,
+            feature_dim=1, interpolation="cubic", method="Tsit5",
+            return_sequence=False,
+            vector_field=dict(
+                name="GNODEFloorVectorField", hidden_dim=4, num_layers=2,
+                num_nodes=129, use_control=False,
+            ),
+        ),
+        dataset=dict(
+            name="england-covid", window_size=5, stride=5,
+            interpolation="cubic", cache_dir=str(tmp_path / "cache"),
+        ),
+        optimiser=dict(
+            name="adamw", weight_decay=1e-4, gradient_clipping=True,
+            schedule=dict(name="constant_schedule", value=1e-3),
+        ),
+        epochs=1, eval_freq=1, log_freq=1, min_epochs=0,
+        checkpoint_dir=str(tmp_path / "ckpt"), logger_name="test-pgt-gnode",
+        wandb=dict(project="test", mode="disabled"),
+    )
+    summary = PGTTrainer(**cfg).run()
+    assert np.isfinite(summary["best_selection"])
+
+
 def test_pgt_twitter_trainer_e2e(tmp_path, monkeypatch):
     """twitter-tennis pipeline end-to-end on a reduced-scale surrogate
     pickle (tools/make_twitter_surrogate.py): 16-dim encoded features,
