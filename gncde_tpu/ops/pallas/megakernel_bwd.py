@@ -409,6 +409,136 @@ def bwd_call(tau, slices, Z, G, layer_arrays, n, dims, bf16, directed,
     return dtau, dZ, per_layer
 
 
+def bwd_call_batched(coeffs, coeffs_batched, idx_b, tau_b, Z_b, G_b,
+                     layer_arrays, n, dims, bf16, directed, need_tau=True):
+    """Batched fused backward: ONE pallas_call, batch as the leading grid
+    dimension, per-element interval planes DMA'd in-kernel by
+    scalar-prefetch index maps (mirrors megakernel._forward_batched --
+    removes the per-element XLA slice copies the default vmap batching
+    makes). Returns (dtau (B,), dZ (B, n, Hin), per-layer grads each
+    (B, ...)); the cotangent sum over the batch for the unbatched layer
+    params happens outside (the transpose of their broadcast)."""
+    from .megakernel import _GridScalar
+
+    d, c, b, a = coeffs
+    B = Z_b.shape[0]
+    L = len(dims)
+    kernel, nparams = _make_bwd_kernel(n, dims, bf16, directed, need_tau)
+
+    def wrapped(idx_sref, tau_sref, d_ref, c_ref, b_ref, a_ref, z_ref, g_ref,
+                *rest):
+        kernel(_GridScalar(tau_sref), d_ref, c_ref, b_ref, a_ref, z_ref,
+               g_ref, *rest)
+
+    if coeffs_batched:
+        plane_spec = pl.BlockSpec(
+            (None, None, n, n), lambda i, idx, tau: (i, idx[i], 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        plane_spec = pl.BlockSpec(
+            (None, n, n), lambda i, idx, tau: (idx[i], 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    in_specs = [plane_spec] * 4 + [
+        pl.BlockSpec((None, n, Z_b.shape[2]), lambda i, idx, tau: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, n, G_b.shape[2]), lambda i, idx, tau: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [d, c, b, a, Z_b, G_b]
+    for la in layer_arrays:
+        for key in ("norm_w", "norm_b", "W", "lin_b", "basis"):
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            operands.append(la[key])
+
+    out_specs = [
+        pl.BlockSpec((None, 1, 1), lambda i, idx, tau: (i, 0, 0),
+                     memory_space=pltpu.SMEM),  # dtau
+        pl.BlockSpec((None, n, dims[0][0]), lambda i, idx, tau: (i, 0, 0),
+                     memory_space=pltpu.VMEM),  # dZ
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, 1, 1), jnp.float32),
+        jax.ShapeDtypeStruct((B, n, dims[0][0]), jnp.float32),
+    ]
+    for Hin, Hout in dims:
+        for shp in ((1, Hin), (1, Hin), (Hout, Hin), (1, Hout), (nparams, 2)):
+            out_specs.append(
+                pl.BlockSpec((None,) + shp,
+                             lambda i, idx, tau: (i,) + (0,) * len(shp),
+                             memory_space=pltpu.VMEM)
+            )
+            out_shape.append(jax.ShapeDtypeStruct((B,) + shp, jnp.float32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )
+    outs = pl.pallas_call(
+        wrapped,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+    )(idx_b.astype(jnp.int32), tau_b.astype(jnp.float32), *operands)
+    dtau = outs[0][:, 0, 0]
+    dZ = outs[1]
+    per_layer = [tuple(outs[2 + 5 * l : 7 + 5 * l]) for l in range(L)]
+    return dtau, dZ, per_layer
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_bwd(n, dims, bf16, directed, need_tau):
+    """custom_vmap-wrapped backward core: under the loss-level batch vmap
+    the cotangent computation dispatches to :func:`bwd_call_batched`."""
+    import jax.custom_batching
+
+    from .megakernel import _layer_param_arrays  # noqa: F401 (doc anchor)
+
+    def _impl(coeffs, idx, tau, Z, G, layer_arrays):
+        slices = [
+            jax.lax.dynamic_index_in_dim(p, idx, axis=0, keepdims=False)
+            for p in coeffs
+        ]
+        return bwd_call(tau, slices, Z, G, layer_arrays, n, list(dims), bf16,
+                        directed, need_tau=need_tau)
+
+    @jax.custom_batching.custom_vmap
+    def fused(coeffs, idx, tau, Z, G, layer_arrays):
+        return _impl(coeffs, idx, tau, Z, G, layer_arrays)
+
+    @fused.def_vmap
+    def _rule(axis_size, in_batched, coeffs, idx, tau, Z, G, layer_arrays):
+        coeff_flags = jax.tree_util.tree_leaves(in_batched[0])
+        cb = all(coeff_flags)
+        mixed_coeffs = any(coeff_flags) and not cb
+        params_batched = any(jax.tree_util.tree_leaves(in_batched[5]))
+        out_batched = (True, True, [(True,) * 5 for _ in dims])
+        if params_batched or mixed_coeffs:
+            axes = jax.tree_util.tree_map(
+                lambda bt: 0 if bt else None, in_batched
+            )
+            out = jax.vmap(_impl, in_axes=tuple(axes))(
+                coeffs, idx, tau, Z, G, layer_arrays
+            )
+            return out, out_batched
+        idx_b = idx if in_batched[1] else jnp.broadcast_to(idx, (axis_size,))
+        tau_b = tau if in_batched[2] else jnp.broadcast_to(tau, (axis_size,))
+        Z_b = Z if in_batched[3] else jnp.broadcast_to(
+            Z, (axis_size,) + Z.shape
+        )
+        G_b = G if in_batched[4] else jnp.broadcast_to(
+            G, (axis_size,) + G.shape
+        )
+        out = bwd_call_batched(coeffs, cb, idx_b, tau_b, Z_b, G_b,
+                               layer_arrays, n, list(dims), bf16, directed,
+                               need_tau=need_tau)
+        return out, out_batched
+
+    return fused
+
+
 def megakernel_vf_bwd(coeffs, ts, t, Z, vf, g, need_t=True):
     """Full fused cotangent for megakernel_vf_eval: (d_t, d_Z, d_vf).
 
@@ -426,19 +556,17 @@ def megakernel_vf_bwd(coeffs, ts, t, Z, vf, g, need_t=True):
         for l in vf.gnn_layers
     ]
     idx, tau = _interval(ts, t)
-    slices = [
-        jax.lax.dynamic_index_in_dim(p, idx, axis=0, keepdims=False)
-        for p in coeffs
-    ]
     layer_arrays = _layer_param_arrays(vf)
     bf16 = ops_config.get_fusion_precision() == "bf16"
     directed = (
         type(vf.gnn_layers[0]).__name__ == "ConvEquivFusionDirectedLayer"
     )
-    dtau, dZ, per_layer = bwd_call(
-        tau, slices, Z, g, layer_arrays, n, dims, bf16, directed,
-        need_tau=need_t,
-    )
+    # custom_vmap core: unbatched calls slice the interval planes and run
+    # the plain kernel; under the loss-level batch vmap the whole cotangent
+    # runs as ONE batch-grid pallas_call with in-kernel plane DMA.
+    dtau, dZ, per_layer = _fused_bwd(
+        n, tuple(dims), bf16, directed, need_t
+    )(tuple(coeffs), idx, tau, Z, g, layer_arrays)
 
     def extract(v):
         out = []

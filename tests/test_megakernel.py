@@ -62,6 +62,72 @@ def test_megakernel_gradients_match():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3)
 
 
+def _setup_batched(n=24, T=6, H=8, L=2, B=3):
+    ts = jnp.linspace(0.0, 1.0, T)
+    A_path = jr.uniform(jr.PRNGKey(7), (B, T, n, n)) * 0.1
+    coeffs = jax.vmap(lambda x: backward_hermite_coefficients(ts, x))(A_path)
+    vf = PermEquivGraphVectorField(
+        input_dim=H, hidden_dim=H, output_dim=H, num_layers=L,
+        data_embed_dim=1, num_nodes=n, key=jr.PRNGKey(8),
+    )
+    Z = jr.normal(jr.PRNGKey(9), (B, n, H))
+    return vf, ts, coeffs, Z
+
+
+def test_batched_megakernel_matches_dense():
+    """Under the loss-level batch vmap the forward runs as ONE batch-grid
+    pallas_call with scalar-prefetch in-kernel plane DMA
+    (megakernel._forward_batched) -- parity vs the vmapped dense backend."""
+    vf, ts, coeffs, Z = _setup_batched()
+
+    def f(v, coeffs_i, Z_i):
+        ctrl = MatrixControl(CubicInterpolation(ts, coeffs_i))
+        return v(0.41, Z_i, ctrl)
+
+    ref = jax.vmap(lambda c, z: f(vf, c, z))(coeffs, Z)
+    ops_cfg.set_fusion_backend("megakernel")
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            got = jax.vmap(lambda c, z: f(vf, c, z))(coeffs, Z)
+    finally:
+        ops_cfg.set_fusion_backend("dense")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_batched_megakernel_gradients_match():
+    """The batched cotangent runs as ONE batch-grid backward pallas_call
+    (megakernel_bwd.bwd_call_batched); per-element dZ and the batch-summed
+    parameter cotangents must match the vmapped dense backend."""
+    vf, ts, coeffs, Z = _setup_batched()
+
+    def loss(v, Z_):
+        def f(coeffs_i, Z_i):
+            ctrl = MatrixControl(CubicInterpolation(ts, coeffs_i))
+            return v(0.41, Z_i, ctrl)
+
+        return jnp.sum(jax.vmap(f)(coeffs, Z_) ** 2)
+
+    ref_val, ref_grads = filter_value_and_grad(loss)(vf, Z)
+    ref_dZ = jax.grad(lambda z: loss(vf, z))(Z)
+    ops_cfg.set_fusion_backend("megakernel")
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            got_val, got_grads = filter_value_and_grad(loss)(vf, Z)
+            got_dZ = jax.grad(lambda z: loss(vf, z))(Z)
+    finally:
+        ops_cfg.set_fusion_backend("dense")
+    np.testing.assert_allclose(float(got_val), float(ref_val), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_dZ), np.asarray(ref_dZ),
+                               atol=1e-3, rtol=1e-3)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(got_grads), jax.tree_util.tree_leaves(ref_grads)
+    ):
+        if a is None:
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3, rtol=1e-3)
+
+
 def _setup_dir(n=24, T=6, H=8, L=2):
     from gncde_tpu.models.vector_fields import PermEquivDirGraphVectorField
 
