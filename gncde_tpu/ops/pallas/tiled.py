@@ -240,7 +240,11 @@ def _dw_kernel(n, TM, TK, ragged, g_i_ref, m_k_ref, m_i_ref, g_k_ref,
 
     @pl.when((ii == 0) & (kk == 0))
     def _():
-        dw_ref[0, :] = jnp.zeros_like(dw_ref[0, :])
+        # Scalar-wise init: SMEM only supports SCALAR loads/stores on
+        # hardware (a vector zeros_like here compiled in interpret mode but
+        # failed on the chip).
+        for j in range(8):
+            dw_ref[0, j] = 0.0
 
     # G/M are real zero-padded (NP, H) arrays, so P and Q are exact; only
     # the plane tiles can overhang (n, n) with unspecified padding.
@@ -371,7 +375,8 @@ def _dw2_kernel(n, TM, TK, ragged, g_i_ref, m_k_ref, m_i_ref, g_k_ref,
 
     @pl.when((ii == 0) & (kk == 0))
     def _():
-        dw_ref[0, :] = jnp.zeros_like(dw_ref[0, :])
+        for j in range(4):  # scalar-wise: see _dw_kernel
+            dw_ref[0, j] = 0.0
 
     P = jnp.dot(g_i_ref[:], m_k_ref[:].T, preferred_element_type=jnp.float32)
     Q = jnp.dot(m_i_ref[:], g_k_ref[:].T, preferred_element_type=jnp.float32)
