@@ -12,3 +12,9 @@ from .sparse_paths import (
     SparseLinearMatrixPath,
     union_ell_pattern,
 )
+from .bcsr_paths import (
+    BCSRMatrixControl,
+    BCSRCubicMatrixPath,
+    BCSRLinearMatrixPath,
+    build_sparse_control,
+)

@@ -1,0 +1,340 @@
+"""Block-sparse (BCSR) control paths: the blocked mirror of sparse_paths.
+
+For banded / community-clustered adjacency (the partitioned/halo regime),
+element-sparse ELL pays TPU gather cost per edge while the nonzero (bs, bs)
+tiles are mostly FULL; storing Hermite coefficient planes as blocked-ELL
+tiles instead lets every solver-loop SpMM ride the scalar-prefetch Pallas
+block kernels (ops/bcsr.py) -- no gathers, MXU-dense per stored block,
+13-36x over the XLA ELL path at n >= 8192 banded (PERFORMANCE.md).
+
+Exactness mirrors sparse_paths: interpolation is entrywise-linear in the
+knot values, so gathering coefficient planes at the union block pattern is
+exact, not an approximation. Both the forward and transposed layouts are
+built once host-side; ``adj(t)``/``dadj(t)`` return
+:class:`gncde_tpu.ops.bcsr.BCSRVal` values, which the fusion layers
+dispatch to ``bcsr_fused_apply`` (layers.py). The reference has no sparse
+path at all (its dataset_configs.py:147-234 interpolates dense planes).
+"""
+
+from __future__ import annotations
+
+import typing as tp
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..nn.module import Module, static_field
+from ..ops.bcsr import (
+    BCSRLayout,
+    BCSRVal,
+    bcsr_diag_slots,
+    bcsr_gather_blocks,
+    bcsr_pattern_from_mask,
+)
+from .paths import backward_hermite_coefficients, _interval_index
+
+
+def _union_mask(planes: tp.Sequence[np.ndarray]) -> np.ndarray:
+    mask = None
+    for p in planes:
+        pm = np.any(
+            np.asarray(p) != 0.0, axis=tuple(range(np.asarray(p).ndim - 2))
+        )
+        mask = pm if mask is None else (mask | pm)
+    return mask
+
+
+def _pad_slots(block_idx: np.ndarray, nblocks: np.ndarray, kb: int):
+    """Widen a pattern to ``kb`` slots (zero-padding; shared-width batching)."""
+    nb, k0 = block_idx.shape
+    if k0 == kb:
+        return block_idx, nblocks
+    out = np.zeros((nb, kb), np.int32)
+    out[:, :k0] = block_idx
+    return out, nblocks
+
+
+def _build_layout(planes: tp.Sequence[np.ndarray], block_size: int,
+                  kb: tp.Optional[int] = None,
+                  kb_T: tp.Optional[int] = None) -> BCSRLayout:
+    """Union block pattern (and its transpose) over every plane/time.
+    ``kb``/``kb_T`` optionally widen the slot counts (batched controls
+    share one width so elements tree-stack)."""
+    mask = _union_mask(planes)
+    n = mask.shape[0]
+    block_idx, nblocks = bcsr_pattern_from_mask(mask, block_size)
+    block_idx_T, nblocks_T = bcsr_pattern_from_mask(mask.T, block_size)
+    if kb is not None:
+        block_idx, nblocks = _pad_slots(block_idx, nblocks, kb)
+    if kb_T is not None:
+        block_idx_T, nblocks_T = _pad_slots(block_idx_T, nblocks_T, kb_T)
+    diag_slot = bcsr_diag_slots(block_idx, nblocks)
+    return BCSRLayout(
+        jnp.asarray(block_idx), jnp.asarray(nblocks),
+        jnp.asarray(block_idx_T), jnp.asarray(nblocks_T),
+        jnp.asarray(diag_slot), n, block_size,
+    )
+
+
+class BCSRCubicMatrixPath(Module):
+    """Hermite-cubic path over blocked values: coefficient planes stored as
+    (T-1, nb, kb, bs, bs) tiles in both the forward and transposed layout."""
+
+    ts: jax.Array
+    coeffs: tuple    # (d, c, b, a), each (T-1, nb, kb, bs, bs)
+    coeffs_T: tuple  # same planes gathered at the transposed pattern
+    layout: BCSRLayout
+
+    @property
+    def t0(self):
+        return self.ts[0]
+
+    @property
+    def t1(self):
+        return self.ts[-1]
+
+    def _at(self, t):
+        idx = _interval_index(self.ts, t)
+        tau = t - self.ts[idx]
+        take = lambda p: jax.lax.dynamic_index_in_dim(  # noqa: E731
+            p, idx, axis=0, keepdims=False
+        )
+        return tau, [take(p) for p in self.coeffs], [
+            take(p) for p in self.coeffs_T
+        ]
+
+    def evaluate(self, t) -> BCSRVal:
+        tau, (d, c, b, a), (dT, cT, bT, aT) = self._at(t)
+        blocks = ((d * tau + c) * tau + b) * tau + a
+        blocks_T = ((dT * tau + cT) * tau + bT) * tau + aT
+        return BCSRVal(blocks, blocks_T, self.layout)
+
+    def derivative(self, t) -> BCSRVal:
+        tau, (d, c, b, a), (dT, cT, bT, aT) = self._at(t)
+        blocks = (3.0 * d * tau + 2.0 * c) * tau + b
+        blocks_T = (3.0 * dT * tau + 2.0 * cT) * tau + bT
+        return BCSRVal(blocks, blocks_T, self.layout)
+
+
+class BCSRLinearMatrixPath(Module):
+    """Piecewise-linear path over blocked values: knots (T, nb, kb, bs, bs)."""
+
+    ts: jax.Array
+    knots: jax.Array
+    knots_T: jax.Array
+    layout: BCSRLayout
+
+    @property
+    def t0(self):
+        return self.ts[0]
+
+    @property
+    def t1(self):
+        return self.ts[-1]
+
+    def _at(self, t):
+        idx = _interval_index(self.ts, t)
+        dt = self.ts[idx + 1] - self.ts[idx]
+        tau = (t - self.ts[idx]) / dt
+        take = lambda p, i: jax.lax.dynamic_index_in_dim(  # noqa: E731
+            p, i, axis=0, keepdims=False
+        )
+        return tau, dt, idx, take, self.knots, self.knots_T
+
+    def evaluate(self, t) -> BCSRVal:
+        tau, _, idx, take, k, kT = self._at(t)
+        blocks = (1 - tau) * take(k, idx) + tau * take(k, idx + 1)
+        blocks_T = (1 - tau) * take(kT, idx) + tau * take(kT, idx + 1)
+        return BCSRVal(blocks, blocks_T, self.layout)
+
+    def derivative(self, t) -> BCSRVal:
+        _, dt, idx, take, k, kT = self._at(t)
+        blocks = (take(k, idx + 1) - take(k, idx)) / dt
+        blocks_T = (take(kT, idx + 1) - take(kT, idx)) / dt
+        return BCSRVal(blocks, blocks_T, self.layout)
+
+
+class BCSRMatrixControl(Module):
+    """Duck-type-compatible with interp.MatrixControl / SparseMatrixControl:
+    ``adj``/``dadj`` return BCSRVal values, ``tgrad_is_unit`` is True."""
+
+    path: Module
+    tgrad_is_unit: bool = static_field()
+
+    def __init__(self, path):
+        self.path = path
+        self.tgrad_is_unit = True
+
+    @classmethod
+    def from_knots(
+        cls, ts, A_path, interpolation: str = "cubic", block_size: int = 128
+    ) -> "BCSRMatrixControl":
+        """Build from dense (T, n, n) adjacency knots (host-side prep)."""
+        ts = jnp.asarray(ts)
+        if interpolation == "linear":
+            planes = [np.asarray(A_path)]
+            layout = _build_layout(planes, block_size)
+            bi = np.asarray(layout.block_idx)
+            nb_ = np.asarray(layout.nblocks)
+            biT = np.asarray(layout.block_idx_T)
+            nbT = np.asarray(layout.nblocks_T)
+            knots = jnp.asarray(
+                bcsr_gather_blocks(planes[0], bi, nb_, block_size)
+            )
+            knots_T = jnp.asarray(
+                bcsr_gather_blocks(
+                    np.swapaxes(np.asarray(A_path), -1, -2), biT, nbT,
+                    block_size,
+                )
+            )
+            return cls(BCSRLinearMatrixPath(ts, knots, knots_T, layout))
+        coeffs = backward_hermite_coefficients(ts, jnp.asarray(A_path))
+        planes = [np.asarray(c) for c in coeffs]
+        layout = _build_layout(planes, block_size)
+        bi = np.asarray(layout.block_idx)
+        nb_ = np.asarray(layout.nblocks)
+        biT = np.asarray(layout.block_idx_T)
+        nbT = np.asarray(layout.nblocks_T)
+        gathered = tuple(
+            jnp.asarray(bcsr_gather_blocks(p, bi, nb_, block_size))
+            for p in planes
+        )
+        gathered_T = tuple(
+            jnp.asarray(
+                bcsr_gather_blocks(
+                    np.swapaxes(p, -1, -2), biT, nbT, block_size
+                )
+            )
+            for p in planes
+        )
+        return cls(BCSRCubicMatrixPath(ts, gathered, gathered_T, layout))
+
+    @classmethod
+    def from_stacked(
+        cls, interpolation: str, ts, coeffs, block_size: int = 128
+    ) -> "BCSRMatrixControl":
+        """Build from reference-layout stacked (time, value) dense
+        coefficients (the objects MatrixControl.from_stacked consumes):
+        extracts the value channel and gathers each Hermite plane at the
+        union block pattern -- bit-identical to the dense path at every
+        queried t.
+
+        A leading batch axis (value-channel plane ndim 4, as the dyn
+        trainer's vmapped coefficients carry) is handled like
+        SparseMatrixControl.from_stacked: per-element patterns widened to
+        one shared slot count, leaves stacked along axis 0 so the control
+        vmaps. NOTE for TPU: vmap of the scalar-prefetch block kernels
+        unrolls the batch -- the block-sparse path is sized for the
+        UNBATCHED windowed trainers (one big graph per window); batched
+        (dyn) use is exact but CPU/test-grade.
+        """
+        ts = jnp.asarray(ts)
+        if interpolation == "linear":
+            knots = np.asarray(coeffs)[..., -1]
+            if knots.ndim == 4:
+                elems = [
+                    cls.from_knots(ts[b] if ts.ndim == 2 else ts, knots[b],
+                                   "linear", block_size)
+                    for b in range(knots.shape[0])
+                ]
+                return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *elems)
+            return cls.from_knots(ts, knots, "linear", block_size)
+        planes = [np.asarray(c)[..., -1] for c in coeffs]
+        if planes[0].ndim == 4:  # batched: (B, T-1, n, n)
+            B = planes[0].shape[0]
+            pats = [
+                bcsr_pattern_from_mask(
+                    _union_mask([p[b] for p in planes]), block_size
+                )
+                for b in range(B)
+            ]
+            patsT = [
+                bcsr_pattern_from_mask(
+                    _union_mask([p[b] for p in planes]).T, block_size
+                )
+                for b in range(B)
+            ]
+            kb = max(p[0].shape[1] for p in pats)
+            kb_T = max(p[0].shape[1] for p in patsT)
+            elems = [
+                cls._build_one(
+                    ts[b] if ts.ndim == 2 else ts,
+                    [p[b] for p in planes], block_size, kb, kb_T,
+                )
+                for b in range(B)
+            ]
+            return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *elems)
+        return cls._build_one(ts, planes, block_size, None, None)
+
+    @classmethod
+    def _build_one(cls, ts, planes, block_size, kb, kb_T):
+        layout = _build_layout(planes, block_size, kb, kb_T)
+        bi = np.asarray(layout.block_idx)
+        nb_ = np.asarray(layout.nblocks)
+        biT = np.asarray(layout.block_idx_T)
+        nbT = np.asarray(layout.nblocks_T)
+        gathered = tuple(
+            jnp.asarray(bcsr_gather_blocks(p, bi, nb_, block_size))
+            for p in planes
+        )
+        gathered_T = tuple(
+            jnp.asarray(
+                bcsr_gather_blocks(np.swapaxes(p, -1, -2), biT, nbT, block_size)
+            )
+            for p in planes
+        )
+        return cls(BCSRCubicMatrixPath(ts, gathered, gathered_T, layout))
+
+    def adj(self, t) -> BCSRVal:
+        return self.path.evaluate(t)
+
+    def dadj(self, t) -> BCSRVal:
+        return self.path.derivative(t)
+
+    def evaluate(self, t) -> BCSRVal:
+        return self.path.evaluate(t)
+
+    def derivative(self, t) -> BCSRVal:
+        return self.path.derivative(t)
+
+
+def build_sparse_control(
+    interpolation: str,
+    ts,
+    coeffs,
+    sparse_format: str = "ell",
+    max_degree: tp.Optional[int] = None,
+    block_size: int = 128,
+):
+    """Route a dense stacked-coefficient object to a sparse control.
+
+    sparse_format: "ell" (element-sparse, the default), "bcsr"
+    (blocked-ELL, Pallas block kernels), or "auto" -- pick BCSR when the
+    union pattern keeps its stored (bs, bs) tiles usefully full
+    (blocked_fill_ratio >= 0.1, i.e. a stored block still beats ~50x-cost
+    per-element gathers) on a graph big enough for the block kernels to
+    matter (n >= 2048; below that the whole-VMEM dense megakernel owns the
+    regime anyway).
+    """
+    from .sparse_paths import SparseMatrixControl
+    from ..ops.bcsr import blocked_fill_ratio
+
+    if sparse_format == "auto":
+        if interpolation == "linear":
+            plane = np.asarray(coeffs)[..., -1]
+        else:
+            plane = np.asarray(coeffs[0])[..., -1]
+        if plane.ndim == 4:  # batched: decide on element 0
+            plane = plane[0]
+        mask = np.any(plane != 0.0, axis=0)
+        n = mask.shape[0]
+        ratio = blocked_fill_ratio(mask, block_size)
+        sparse_format = "bcsr" if (ratio >= 0.1 and n >= 2048) else "ell"
+    if sparse_format == "bcsr":
+        return BCSRMatrixControl.from_stacked(
+            interpolation, ts, coeffs, block_size=block_size
+        )
+    return SparseMatrixControl.from_stacked(
+        interpolation, ts, coeffs, max_degree=max_degree
+    )

@@ -39,12 +39,21 @@ class ConvLayer(Module):
         return jax.vmap(self.linear)(node_feats)
 
     def __call__(self, node_feats: jax.Array, adj_matrix) -> jax.Array:
+        from ...ops import bcsr as ops_bcsr
         from ...ops import sparse as ops_sparse
 
         m = self.transform(node_feats)
         if isinstance(adj_matrix, ops_sparse.ELL):
             return m + ops_sparse.ell_spmm(adj_matrix, m)
+        if isinstance(adj_matrix, ops_bcsr.BCSRVal):
+            return m + ops_bcsr._bcsr_apply_pair(adj_matrix, m, transpose=False)
         return m + adj_matrix @ m
+
+
+def _bcsr_val_type():
+    from ...ops import bcsr as ops_bcsr
+
+    return ops_bcsr.BCSRVal
 
 
 def _init_fusion_params(key: jax.Array, count: int):
@@ -120,6 +129,15 @@ class ConvEquivFusionLayer(Module):
             # Sparse (scaled-n) path: ELL controls bypass the dense backends
             # entirely -- O(nnz * H) message passing, no n^2 operator.
             return ops_sparse.sparse_fused_apply(
+                adj_matrix, control_gradient, m, self.params, add_identity=True
+            )
+        if isinstance(adj_matrix, _bcsr_val_type()):
+            # Block-sparse path: banded/clustered patterns ride the
+            # scalar-prefetch Pallas block kernels (ops/bcsr.py) -- no
+            # gathers, MXU-dense per stored block.
+            from ...ops import bcsr as ops_bcsr
+
+            return ops_bcsr.bcsr_fused_apply(
                 adj_matrix, control_gradient, m, self.params, add_identity=True
             )
         # "megakernel" is a vector-field-level backend (fields.py intercepts
@@ -240,6 +258,12 @@ class ConvEquivFusionDirectedLayer(Module):
 
         backend = ops_config.get_fusion_backend()
         m = self.conv_layer.transform(node_feats)
+        if isinstance(adj_matrix, _bcsr_val_type()):
+            from ...ops import bcsr as ops_bcsr
+
+            return ops_bcsr.bcsr_fused_apply_directed(
+                adj_matrix, control_gradient, m, self.params, add_identity=True
+            )
         if isinstance(adj_matrix, ops_sparse.ELL):
             return ops_sparse.sparse_fused_apply_directed(
                 adj_matrix, control_gradient, m, self.params, add_identity=True

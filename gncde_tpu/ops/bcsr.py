@@ -352,3 +352,240 @@ def _bsg_bwd(n, res, g):
 
 
 bcsr_spmm_grad.defvjp(_bsg_fwd, _bsg_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Model-path consumer: BCSR-valued adjacency controls (VERDICT r3 item 4)
+# ---------------------------------------------------------------------------
+
+
+class BCSRLayout(Module):
+    """Static-pattern data shared by every plane of a BCSR control path.
+
+    Both the forward and the transposed blocked-ELL patterns are built once
+    host-side (the transpose does not scatter at solve time -- mirror of
+    ops/sparse.py's two-pattern ELL arrangement), plus the per-block-row
+    diagonal-slot index the rank-structured terms need.
+    """
+
+    block_idx: jax.Array      # (nb, kb) forward pattern
+    nblocks: jax.Array        # (nb,)
+    block_idx_T: jax.Array    # (nb, kbT) transposed pattern
+    nblocks_T: jax.Array      # (nb,)
+    diag_slot: jax.Array      # (nb,) slot of the diagonal block, kb if absent
+    n: int = static_field()
+    bs: int = static_field()
+
+    @property
+    def valid(self) -> jax.Array:
+        return slot_mask(self.block_idx, self.nblocks)
+
+    @property
+    def valid_T(self) -> jax.Array:
+        return slot_mask(self.block_idx_T, self.nblocks_T)
+
+
+class BCSRVal(Module):
+    """A BCSR-valued matrix A(t) (or dA/dt) produced by a BCSR control path:
+    forward-layout blocks + transposed-layout blocks at one shared
+    :class:`BCSRLayout`. The fusion layers dispatch on this type (mirror of
+    ops.sparse.ELL)."""
+
+    blocks: jax.Array    # (nb, kb, bs, bs)
+    blocks_T: jax.Array  # (nb, kbT, bs, bs)
+    layout: BCSRLayout
+
+    def combine(self, other: "BCSRVal", ca, cb) -> "BCSRVal":
+        return BCSRVal(
+            ca * self.blocks + cb * other.blocks,
+            ca * self.blocks_T + cb * other.blocks_T,
+            self.layout,
+        )
+
+
+def bcsr_pattern_from_mask(mask: np.ndarray, block_size: int):
+    """(block_idx, nblocks) of the blocked-ELL pattern covering ``mask``."""
+    b = bcsr_from_dense(mask.astype(np.float32), block_size)
+    return np.asarray(b.block_idx), np.asarray(b.nblocks)
+
+
+def bcsr_gather_blocks(
+    plane: np.ndarray, block_idx: np.ndarray, nblocks: np.ndarray, bs: int
+) -> np.ndarray:
+    """Gather ``plane``'s (bs, bs) tiles at a blocked-ELL pattern
+    (host-side; padding slots zero). plane may carry leading axes."""
+    plane = np.asarray(plane)
+    n = plane.shape[-1]
+    nb, kb = block_idx.shape
+    lead = plane.shape[:-2]
+    padded = np.zeros(lead + (nb * bs, nb * bs), plane.dtype)
+    padded[..., :n, :n] = plane
+    tiles = padded.reshape(lead + (nb, bs, nb, bs))
+    tiles = np.moveaxis(tiles, -2, -3)  # (..., nb, nb, bs, bs)
+    rows = np.arange(nb)[:, None]
+    out = tiles[..., rows, block_idx, :, :]  # (..., nb, kb, bs, bs)
+    invalid = np.arange(kb)[None, :] >= nblocks[:, None]
+    out[..., invalid, :, :] = 0.0
+    return out
+
+
+def bcsr_diag_slots(block_idx: np.ndarray, nblocks: np.ndarray) -> np.ndarray:
+    """Per-block-row slot holding the diagonal block (kb where absent)."""
+    nb, kb = block_idx.shape
+    slots = np.full((nb,), kb, np.int32)
+    for i in range(nb):
+        hits = np.nonzero(block_idx[i, : nblocks[i]] == i)[0]
+        if len(hits):
+            slots[i] = hits[0]
+    return slots
+
+
+def bcsr_row_sums(blocks: jax.Array, n: int) -> jax.Array:
+    """Row sums of the represented matrix: padding blocks are zero, so a
+    plain reduction over (slots, block-cols) is exact. Returns (n,)."""
+    nb, _, bs, _ = blocks.shape
+    rs = jnp.sum(blocks.astype(jnp.float32), axis=(1, 3))  # (nb, bs)
+    return rs.reshape(nb * bs)[:n]
+
+
+def bcsr_diag(blocks: jax.Array, diag_slot: jax.Array, n: int) -> jax.Array:
+    """Diagonal of the represented matrix via the precomputed slot index."""
+    nb, kb, bs, _ = blocks.shape
+    safe = jnp.minimum(diag_slot, kb - 1)
+    dblocks = blocks[jnp.arange(nb), safe]  # (nb, bs, bs)
+    dvals = jnp.diagonal(dblocks, axis1=-2, axis2=-1).astype(jnp.float32)
+    dvals = jnp.where((diag_slot < kb)[:, None], dvals, 0.0)
+    return dvals.reshape(nb * bs)[:n]
+
+
+def _bcsr_apply_pair(val: BCSRVal, M: jax.Array, transpose: bool) -> jax.Array:
+    """Differentiable SpMM of a combined BCSRVal (or its transpose) with M,
+    through the Pallas block kernels (XLA reference off-TPU)."""
+    lay = val.layout
+    if transpose:
+        return bcsr_spmm_grad(
+            val.blocks_T, lay.block_idx_T, val.blocks, lay.block_idx,
+            lay.valid_T, M, lay.n,
+        )
+    return bcsr_spmm_grad(
+        val.blocks, lay.block_idx, val.blocks_T, lay.block_idx_T,
+        lay.valid, M, lay.n,
+    )
+
+
+def bcsr_fused_apply(
+    bA: BCSRVal, bdA: BCSRVal, M: jax.Array,
+    params: tp.Sequence[jax.Array], add_identity: bool = False,
+) -> jax.Array:
+    """Undirected 8-term fused basis apply over BCSR values -- the blocked
+    mirror of ops.sparse.sparse_fused_apply (same rank-structured
+    decomposition, equiv_basis.py:116-138, term_7 sum(A) quirk included).
+    A and dA share one layout (the control path guarantees it), so each
+    basis pair combines VALUES first: one block-SpMM for the identity pair
+    and one transposed-layout block-SpMM for the transpose pair.
+    """
+    p1, p2, p3, p4, p5, p6, p7, p8 = params
+    lay = bA.layout
+    n = lay.n
+    rA = bcsr_row_sums(bA.blocks, n)
+    rdA = bcsr_row_sums(bdA.blocks, n)
+    sA, sdA = jnp.sum(rA), jnp.sum(rdA)
+
+    rowpart = _bcsr_apply_pair(bA.combine(bdA, 1.0 + p1[0], 1.0 + p1[1]), M,
+                               transpose=False)
+    colpart = _bcsr_apply_pair(bA.combine(bdA, p2[0], p2[1]), M,
+                               transpose=True)
+
+    dvec = (
+        p3[0] * bcsr_diag(bA.blocks, lay.diag_slot, n)
+        + p3[1] * bcsr_diag(bdA.blocks, lay.diag_slot, n)
+        + (p6[0] * rA + p6[1] * rdA) / n
+        + (p8[0] * sA + p8[1] * sdA) / n**2
+    )
+    if add_identity:
+        dvec = dvec + 1.0
+    u = (p4[0] * rA + p4[1] * rdA) / n
+    v = (p5[0] * rA + p5[1] * rdA) / n
+    c7 = (p7[0] + p7[1]) * sA / n**2
+
+    s = jnp.sum(M, axis=0)
+    w = v @ M
+    return (
+        rowpart
+        + colpart
+        + dvec[:, None] * M
+        + u[:, None] * s[None, :]
+        + (w + c7 * s)[None, :]
+    )
+
+
+def bcsr_fused_apply_directed(
+    bA: BCSRVal, bdA: BCSRVal, M: jax.Array,
+    params: tp.Sequence[jax.Array], add_identity: bool = False,
+) -> jax.Array:
+    """Directed 11-term fused basis apply over BCSR values (mirror of
+    ops.sparse.sparse_fused_apply_directed, incl. the reference's
+    term_4_prime row/col mix and term_7 sum(A) quirks)."""
+    p1, p2, p3, p4, p4p, p5, p5p, p6, p6p, p7, p8 = params
+    lay = bA.layout
+    n = lay.n
+    rA = bcsr_row_sums(bA.blocks, n)
+    rdA = bcsr_row_sums(bdA.blocks, n)
+    cA = bcsr_row_sums(bA.blocks_T, n)
+    cdA = bcsr_row_sums(bdA.blocks_T, n)
+    sA, sdA = jnp.sum(rA), jnp.sum(rdA)
+
+    rowpart = _bcsr_apply_pair(bA.combine(bdA, 1.0 + p1[0], 1.0 + p1[1]), M,
+                               transpose=False)
+    colpart = _bcsr_apply_pair(bA.combine(bdA, p2[0], p2[1]), M,
+                               transpose=True)
+
+    dvec = (
+        p3[0] * bcsr_diag(bA.blocks, lay.diag_slot, n)
+        + p3[1] * bcsr_diag(bdA.blocks, lay.diag_slot, n)
+        + (p6[0] * cA + p6[1] * cdA) / n
+        + (p6p[0] * rA + p6p[1] * rdA) / n
+        + (p8[0] * sA + p8[1] * sdA) / n**2
+    )
+    if add_identity:
+        dvec = dvec + 1.0
+    u = (p4[0] * cA + p4[1] * cdA) / n
+    v = (
+        (p4p[0] * rA + p4p[1] * cdA)  # term_4' quirk (layers.py:288)
+        + (p5[0] * cA + p5[1] * cdA)
+        + (p5p[0] * rA + p5p[1] * rdA)
+    ) / n
+    c7 = (p7[0] + p7[1]) * sA / n**2
+
+    s = jnp.sum(M, axis=0)
+    w = v @ M
+    return (
+        rowpart
+        + colpart
+        + dvec[:, None] * M
+        + u[:, None] * s[None, :]
+        + (w + c7 * s)[None, :]
+    )
+
+
+def blocked_fill_ratio(mask: np.ndarray, block_size: int) -> float:
+    """nnz / stored-block capacity of the blocked-ELL layout covering
+    ``mask`` -- the auto-detection statistic for routing sparse controls to
+    BCSR. Banded / community-clustered patterns keep their stored tiles
+    usefully full (e.g. ~0.25 for a bw=24 band at bs=64); uniform random
+    sparsity leaves them at ~density (ELL wins that regime,
+    PERFORMANCE.md BCSR table). A stored block at even ~10% fill still
+    beats per-element TPU gathers (~50x per-element cost, ops/sparse.py
+    round-2 measurements), hence the low routing threshold in the
+    trainers (0.1)."""
+    mask = np.asarray(mask).astype(bool)
+    n = mask.shape[0]
+    bs = block_size
+    nb = _cdiv(n, bs)
+    padded = np.zeros((nb * bs, nb * bs), bool)
+    padded[:n, :n] = mask
+    tiles = padded.reshape(nb, bs, nb, bs).transpose(0, 2, 1, 3)
+    stored = np.any(tiles, axis=(2, 3)).sum()
+    if stored == 0:
+        return 0.0
+    return float(mask.sum() / (stored * bs * bs))

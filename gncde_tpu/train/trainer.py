@@ -108,6 +108,11 @@ class Trainer(pydantic.BaseModel):
     # (the ELL pattern is the union of nonzero coefficient entries).
     sparse_control: bool = False
     sparse_max_degree: tp.Optional[int] = None
+    # Sparse layout: "ell" (element-sparse), "bcsr" (blocked-ELL, Pallas
+    # block kernels -- the banded/clustered-pattern surface), or "auto"
+    # (route by blocked fill ratio; interp.bcsr_paths.build_sparse_control).
+    sparse_format: tp.Literal["ell", "bcsr", "auto"] = "ell"
+    sparse_block_size: int = 128
     # "bf16" runs message passing in bfloat16 (f32 accumulation + solver
     # control); see ops.set_fusion_precision and PERFORMANCE.md bf16 study.
     fusion_precision: tp.Optional[str] = None
@@ -178,7 +183,7 @@ class Trainer(pydantic.BaseModel):
         logger.info("Data loading done")
 
         if self.sparse_control:
-            from ..interp import SparseMatrixControl
+            from ..interp import build_sparse_control
 
             interpolation = getattr(self.model, "interpolation", "cubic")
             for dct in (train_data_dict, val_data_dict, test_data_dict):
@@ -188,13 +193,18 @@ class Trainer(pydantic.BaseModel):
                     ("test_graph_path_coeffs", "t"),
                 ):
                     if ckey in dct:
-                        dct[ckey] = SparseMatrixControl.from_stacked(
+                        dct[ckey] = build_sparse_control(
                             interpolation,
                             dct[tkey],
                             dct[ckey],
+                            sparse_format=self.sparse_format,
                             max_degree=self.sparse_max_degree,
+                            block_size=self.sparse_block_size,
                         )
-            logger.info("Sparse ELL control conversion done")
+            logger.info(
+                "Sparse control conversion done (format=%s)",
+                self.sparse_format,
+            )
         else:
             # Build the slim control (time-channel strip + optional bf16
             # coefficient planes) HERE, eagerly, not inside the jitted step.

@@ -253,6 +253,8 @@ class _WindowedTrainerBase(pydantic.BaseModel):
     # from_stacked path shares one K across the stack).
     sparse_control: bool = False
     sparse_max_degree: tp.Optional[int] = None
+    sparse_format: tp.Literal["ell", "bcsr", "auto"] = "ell"
+    sparse_block_size: int = 128
 
     model_config = pydantic.ConfigDict(extra="ignore")
     _run_key: tp.Any = pydantic.PrivateAttr(default=None)
@@ -298,7 +300,7 @@ class _WindowedTrainerBase(pydantic.BaseModel):
             )
 
         if self.sparse_control:
-            from ..interp import SparseMatrixControl
+            from ..interp import build_sparse_control
 
             interpolation = getattr(self.model, "interpolation", "cubic")
 
@@ -307,11 +309,13 @@ class _WindowedTrainerBase(pydantic.BaseModel):
                 for d in loader:
                     if "graph_path_coeffs" in d:
                         d = dict(d)
-                        d["graph_path_coeffs"] = SparseMatrixControl.from_stacked(
+                        d["graph_path_coeffs"] = build_sparse_control(
                             interpolation,
                             jnp.asarray(d["t"]),
                             d["graph_path_coeffs"],
+                            sparse_format=self.sparse_format,
                             max_degree=self.sparse_max_degree,
+                            block_size=self.sparse_block_size,
                         )
                     out.append(d)
                 return type(loader)(out)

