@@ -28,6 +28,25 @@ from ..data import pgt as pgt_data
 logger = logging.getLogger(__name__)
 
 
+def _host_shard() -> tp.Tuple[int, int]:
+    """(process_index, process_count) of the running job; (0, 1) when JAX
+    is single-process or not yet importable. Multi-host runs key every
+    cache file by the host so N processes never serialise through (or race
+    on) one pickle (SURVEY.md section 5: cache becomes per-host
+    shard-aware)."""
+    try:
+        import jax
+
+        return jax.process_index(), jax.process_count()
+    except Exception:  # noqa: BLE001 - cache keying must never fail
+        return 0, 1
+
+
+def _shard_suffix() -> str:
+    pi, pc = _host_shard()
+    return f"_host{pi}of{pc}" if pc > 1 else ""
+
+
 class ODEDataSetCfg(pydantic.BaseModel):
     name: tp.Literal["heat", "gene", "mutualistic", "sir"] = pydantic.Field(...)
     batch_size: int = 1
@@ -86,7 +105,7 @@ class ODEDataSetCfg(pydantic.BaseModel):
     def _get_cache_path(self, config_hash: str, data_key: str) -> Path:
         cache_dir = Path(self.cache_dir)
         cache_dir.mkdir(parents=True, exist_ok=True)
-        return cache_dir / f"cache_{config_hash}_{data_key}.pkl"
+        return cache_dir / f"cache_{config_hash}_{data_key}{_shard_suffix()}.pkl"
 
     def _load_or_compute(self, cache_path: Path, compute):
         if cache_path.exists():
@@ -176,7 +195,7 @@ class _WindowedDataSetCfg(pydantic.BaseModel):
     def _get_cache_path(self, config_hash: str, data_key: str) -> Path:
         cache_dir = Path(self.cache_dir)
         cache_dir.mkdir(parents=True, exist_ok=True)
-        return cache_dir / f"cache_{config_hash}_{data_key}.pkl"
+        return cache_dir / f"cache_{config_hash}_{data_key}{_shard_suffix()}.pkl"
 
     def _load_or_compute(self, cache_path: Path, compute):
         if cache_path.exists():
@@ -214,7 +233,19 @@ class _WindowedDataSetCfg(pydantic.BaseModel):
 
         def compute():
             splits = self._split_windows()
-            return [self._process_window(wnd) for wnd in splits[split_idx]]
+            windows = splits[split_idx]
+            if split_idx == 0:
+                # Multi-host: each host processes and caches only ITS
+                # round-robin shard of the training windows (the data-
+                # parallel unit of the windowed trainers); the disjoint
+                # window split itself is host-independent (same seed), so
+                # shards are disjoint and exhaustive. Eval splits stay
+                # whole on every host (metrics must be host-independent);
+                # the host-keyed cache file still prevents write races.
+                pi, pc = _host_shard()
+                if pc > 1:
+                    windows = windows[pi::pc]
+            return [self._process_window(wnd) for wnd in windows]
 
         return win.WindowLoader(self._load_or_compute(cache_path, compute))
 

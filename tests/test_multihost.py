@@ -126,3 +126,131 @@ def test_two_process_cpu_bootstrap(tmp_path):
     for pid, (p, out) in enumerate(results):
         assert p.returncode == 0, f"process {pid} failed:\n{out}"
         assert "OK process=" in out, out
+
+
+CACHE_WORKER = r"""
+import os, sys, glob
+import numpy as np
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+sys.path.insert(0, os.environ["REPO_ROOT"])
+
+from gncde_tpu.parallel import multihost
+
+multihost.initialize(
+    coordinator_address=os.environ["COORDINATOR_ADDRESS"],
+    num_processes=2,
+    process_id=int(os.environ["PROCESS_ID"]),
+)
+
+import jax
+
+from gncde_tpu.configs.dataset_configs import PGTDataSetCfg
+
+cache_dir = os.environ["SHARED_CACHE"]
+cfg = PGTDataSetCfg(
+    name="england-covid", window_size=5, stride=5,
+    interpolation="cubic", cache_dir=cache_dir,
+)
+
+pi = jax.process_index()
+loader = cfg.get_training_data()          # MISS: computes + writes host shard
+n_first = len(loader.windows)
+files_mine = sorted(
+    os.path.basename(f)
+    for f in glob.glob(os.path.join(cache_dir, "*default_train*.pkl"))
+    if f"host{pi}of2" in f
+)
+assert files_mine, "host-sharded cache file missing"
+mtimes = {f: os.path.getmtime(os.path.join(cache_dir, f)) for f in files_mine}
+
+loader2 = cfg.get_training_data()         # HIT: same file, not rewritten
+assert len(loader2.windows) == n_first
+for f in files_mine:
+    assert os.path.getmtime(os.path.join(cache_dir, f)) == mtimes[f], (
+        "cache hit rewrote the shard file"
+    )
+
+# Eval splits stay whole per host (host-keyed file, full content).
+val = cfg.get_validation_data()
+first_t = float(np.asarray(loader.windows[0]["x_t"]).sum()) if n_first else -1.0
+print(f"CACHEOK process={pi} train_windows={n_first} "
+      f"val_windows={len(val.windows)} first_t={first_t:.4f}")
+"""
+
+
+def test_two_process_shard_aware_cache(tmp_path):
+    """Multi-host data caching (SURVEY section 5): each host writes its OWN
+    md5+host-keyed cache file holding only its round-robin shard of the
+    training windows; a second read is a hit (file not rewritten); eval
+    splits stay whole. Shards must be disjoint and exhaustive across the 2
+    hosts (counts sum to the single-process count)."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    # Single-process ground truth for the window counts.
+    from gncde_tpu.configs.dataset_configs import PGTDataSetCfg
+
+    solo_cache = tmp_path / "solo_cache"
+    solo = PGTDataSetCfg(
+        name="england-covid", window_size=5, stride=5,
+        interpolation="cubic", cache_dir=str(solo_cache),
+    )
+    n_total = len(solo.get_training_data().windows)
+    n_val = len(solo.get_validation_data().windows)
+
+    shared = tmp_path / "shared_cache"
+    shared.mkdir()
+    script = tmp_path / "cache_worker.py"
+    script.write_text(CACHE_WORKER)
+    port = _free_port()
+    procs = []
+    for pid in (0, 1):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env.pop("JAX_PLATFORMS", None)
+        env.update(
+            COORDINATOR_ADDRESS=f"localhost:{port}",
+            PROCESS_ID=str(pid),
+            REPO_ROOT=repo_root,
+            SHARED_CACHE=str(shared),
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(script)], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+        )
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+                q.wait()
+            pytest.fail("cache worker timed out")
+        outs.append(out)
+
+    counts = {}
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out}"
+        for line in out.splitlines():
+            if line.startswith("CACHEOK"):
+                kv = dict(tok.split("=") for tok in line.split()[1:])
+                counts[int(kv["process"])] = kv
+    assert set(counts) == {0, 1}, outs
+    n0 = int(counts[0]["train_windows"])
+    n1 = int(counts[1]["train_windows"])
+    assert n0 + n1 == n_total, (n0, n1, n_total)
+    assert int(counts[0]["val_windows"]) == n_val
+    assert int(counts[1]["val_windows"]) == n_val
+    # Round-robin shards see different first windows (disjointness probe:
+    # the first window's feature content differs between hosts).
+    if n0 and n1:
+        assert counts[0]["first_t"] != counts[1]["first_t"]
+    # Host-keyed shard files for both hosts exist side by side.
+    names = [f.name for f in shared.glob("*default_train*.pkl")]
+    assert any("host0of2" in f for f in names), names
+    assert any("host1of2" in f for f in names), names
