@@ -98,6 +98,10 @@ class TGBGraphNeuralCDECfg(pydantic.BaseModel):
     return_sequence: bool = True
     use_mlps: bool = False
     dt0: float = 0.01
+    # Opt-in (not in the reference): learned persistence-residual head
+    # scores = decoder(z) + alpha * last-snapshot features. See
+    # models/tgb.py; default off keeps reference parameter-count parity.
+    persistence_head: bool = False
 
     model_config = pydantic.ConfigDict(extra="forbid")
 
@@ -112,6 +116,7 @@ class TGBGraphNeuralCDECfg(pydantic.BaseModel):
             return_sequence=self.return_sequence,
             use_mlps=self.use_mlps,
             dt0=self.dt0,
+            persistence_head=self.persistence_head,
             key=model_key,
         )
 

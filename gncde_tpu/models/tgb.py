@@ -48,6 +48,7 @@ class TGBGraphNeuralCDE(Module):
     data_encoder: Linear
     vector_field: Module
     wrapped_vector_field: Module
+    persistence_alpha: tp.Optional[jax.Array]
     hidden_dim: int = static_field()
     method: str = static_field()
     interpolation: str = static_field()
@@ -63,6 +64,7 @@ class TGBGraphNeuralCDE(Module):
         return_sequence: bool = True,
         use_mlps: bool = False,
         dt0: float = 0.01,
+        persistence_head: bool = False,
         *,
         key: jax.Array,
     ):
@@ -76,6 +78,17 @@ class TGBGraphNeuralCDE(Module):
         self.vector_field = vector_field
         self.wrapped_vector_field = vector_fields.CDEWrapperVectorField(
             vector_field, hidden_dim
+        )
+        # Opt-in persistence-residual head (NOT in the reference):
+        # scores = decoder(z) + alpha * last-snapshot features. TGB node
+        # features ARE the adjacency rows (dataset_configs.py:683), so the
+        # alpha term is exactly the copy-last predictor -- near-ceiling on
+        # persistence-dominated snapshot data (the tgbn leaderboards'
+        # persistent-forecast baseline) -- and the rank-H decoder learns the
+        # residual instead of spending its capacity imitating persistence.
+        # alpha starts at 1.0 (pure copy-last + untrained residual).
+        self.persistence_alpha = (
+            jnp.ones(()) if persistence_head else None
         )
         self.hidden_dim = hidden_dim
         self.method = method
@@ -93,6 +106,7 @@ class TGBGraphNeuralCDE(Module):
         evolving_out: bool = False,
         adjoint: str = "checkpointed",
     ) -> jax.Array:
+        x_raw = x_data  # (T, n, n): adjacency-row features, kept for the head
         x_data = jax.vmap(jax.vmap(self.data_encoder))(x_data)
         t_index = jnp.broadcast_to(
             ts[:, None, None], (ts.shape[0], x_data.shape[1], x_data.shape[2])
@@ -127,9 +141,15 @@ class TGBGraphNeuralCDE(Module):
         )
 
         if self.return_sequence and evolving_out:
-            return jax.vmap(jax.vmap(self.decoder))(sol.ys)
+            out = jax.vmap(jax.vmap(self.decoder))(sol.ys)
+            if self.persistence_alpha is not None:
+                out = out + self.persistence_alpha * x_raw  # persist step-wise
+            return out
         ys_last = sol.ys[-1] if evolving_out else sol.ys
-        return jax.vmap(self.decoder)(ys_last)
+        out = jax.vmap(self.decoder)(ys_last)
+        if self.persistence_alpha is not None:
+            out = out + self.persistence_alpha * x_raw[-1]
+        return out
 
 
 class TGBGraphNeuralODE(Module):

@@ -144,6 +144,31 @@ class TestTGBModels:
         out = model(ts[:4], coeffs, x_data, x0)
         assert out.shape == (N, N)
 
+    def test_tgb_cde_persistence_head(self):
+        """Opt-in head: scores = decoder(z) + alpha * last snapshot. With
+        identical weights and alpha=1, the head output differs from the
+        headless output by exactly x_data[-1]."""
+        ts, coeffs = _adj_coeffs(jr.PRNGKey(0), T_=4)
+        vf = PermEquivGraphVectorField(
+            input_dim=H, hidden_dim=H, output_dim=H * 4 * 2, num_layers=2,
+            data_embed_dim=4, num_nodes=N, key=jr.PRNGKey(1),
+        )
+        base = TGBGraphNeuralCDE(vf, hidden_dim=H, interpolation="cubic",
+                                 dt0=0.1, key=jr.PRNGKey(2))
+        headed = TGBGraphNeuralCDE(vf, hidden_dim=H, interpolation="cubic",
+                                   dt0=0.1, persistence_head=True,
+                                   key=jr.PRNGKey(2))
+        assert headed.persistence_alpha is not None
+        assert base.persistence_alpha is None
+        x_data = jr.normal(jr.PRNGKey(4), (4, N, N))
+        x0 = jr.normal(jr.PRNGKey(3), (N, N))
+        out_b = base(ts[:4], coeffs, x_data, x0)
+        out_h = headed(ts[:4], coeffs, x_data, x0)
+        np.testing.assert_allclose(
+            np.asarray(out_h - out_b), np.asarray(x_data[-1]),
+            rtol=1e-5, atol=1e-5,
+        )
+
     def test_tgb_st(self):
         ts, coeffs = _adj_coeffs(jr.PRNGKey(0), T_=4)
         f_func = FinalTanhF(input_dim=H, hidden_dim=H, output_dim=H * 4,
