@@ -84,11 +84,49 @@ def run_case(name, A, H=64, bs=128):
     )
 
 
+def run_model_path(n=8192, bw=64, H=32, bs=128, T=4):
+    """Through-the-model point (VERDICT r3 item 4): one full
+    PermEquivGraphVectorField eval via the BCSR control vs the ELL control,
+    the exact production dispatch (layers.py) a trainer step runs."""
+    import jax.random as jr
+
+    from gncde_tpu.interp import BCSRMatrixControl, SparseMatrixControl
+    from gncde_tpu.models.vector_fields import PermEquivGraphVectorField
+
+    rng = np.random.default_rng(0)
+    i, j = np.indices((n, n))
+    mask = np.abs(i - j) <= bw
+    A_path = jnp.asarray(
+        np.where(mask, 0.1 * rng.random((T, n, n)), 0.0).astype(np.float32)
+    )
+    ts = jnp.linspace(0.0, 1.0, T)
+    b_ctrl = BCSRMatrixControl.from_knots(ts, A_path, "cubic", block_size=bs)
+    e_ctrl = SparseMatrixControl.from_knots(ts, A_path, "cubic")
+    vf = PermEquivGraphVectorField(
+        input_dim=H, hidden_dim=H, output_dim=H, num_layers=3,
+        data_embed_dim=1, num_nodes=n, key=jr.PRNGKey(1),
+    )
+    Z = jr.normal(jr.PRNGKey(2), (n, H)) * 0.1
+
+    f_b = jax.jit(lambda z: vf(0.41, z, b_ctrl))
+    f_e = jax.jit(lambda z: vf(0.41, z, e_ctrl))
+    t_b = bench(f_b, Z, iters=20)
+    t_e = bench(f_e, Z, iters=20)
+    err = float(jnp.max(jnp.abs(f_b(Z) - f_e(Z))) / jnp.max(jnp.abs(f_e(Z))))
+    print(
+        f"model-path vf eval        n={n:5d} bw={bw} H={H} L=3
+"
+        f"    bcsr-control {t_b*1e6:8.1f}us  ell-control {t_e*1e6:8.1f}us  "
+        f"(ell/bcsr {t_e/t_b:5.2f}x, rel_err {err:.2e})"
+    )
+
+
 def main():
     print(f"backend: {jax.default_backend()}")
     for n in (4096, 8192, 16384):
         run_case("banded bw=64", banded(n, 64), H=64)
     run_case("uniform 1%", uniform(4096, 0.01), H=64)
+    run_model_path()
 
 
 if __name__ == "__main__":

@@ -49,6 +49,7 @@ class TGBGraphNeuralCDE(Module):
     vector_field: Module
     wrapped_vector_field: Module
     persistence_alpha: tp.Optional[jax.Array]
+    residual_gate: tp.Optional[jax.Array]
     hidden_dim: int = static_field()
     method: str = static_field()
     interpolation: str = static_field()
@@ -80,15 +81,24 @@ class TGBGraphNeuralCDE(Module):
             vector_field, hidden_dim
         )
         # Opt-in persistence-residual head (NOT in the reference):
-        # scores = decoder(z) + alpha * last-snapshot features. TGB node
-        # features ARE the adjacency rows (dataset_configs.py:683), so the
-        # alpha term is exactly the copy-last predictor -- near-ceiling on
-        # persistence-dominated snapshot data (the tgbn leaderboards'
-        # persistent-forecast baseline) -- and the rank-H decoder learns the
-        # residual instead of spending its capacity imitating persistence.
-        # alpha starts at 1.0 (pure copy-last + untrained residual).
+        # scores = beta * decoder(z) + alpha * rownorm(last snapshot). TGB
+        # node features ARE the adjacency rows (dataset_configs.py:683), so
+        # the alpha term ranks exactly like the copy-last predictor --
+        # near-ceiling on persistence-dominated snapshot data (the tgbn
+        # leaderboards' persistent-forecast baseline). Two scale choices
+        # make it WORK at init (a raw additive head measured chance-level
+        # NDCG: the untrained decoder's output, fed ~1e5-scale raw
+        # features, swamps the persistence term):
+        #   * the snapshot is row-max normalised (rank-preserving per
+        #     source, O(1) logit scale),
+        #   * the decoder is gated by beta initialised to 0 (ReZero-style),
+        #     so epoch 0 IS copy-last and the CDE residual fades in as it
+        #     earns CE.
         self.persistence_alpha = (
             jnp.ones(()) if persistence_head else None
+        )
+        self.residual_gate = (
+            jnp.zeros(()) if persistence_head else None
         )
         self.hidden_dim = hidden_dim
         self.method = method
@@ -140,15 +150,19 @@ class TGBGraphNeuralCDE(Module):
             adjoint=adjoint,
         )
 
+        def _persist(snapshot):
+            rowmax = jnp.max(jnp.abs(snapshot), axis=-1, keepdims=True)
+            return self.persistence_alpha * snapshot / (rowmax + 1e-8)
+
         if self.return_sequence and evolving_out:
             out = jax.vmap(jax.vmap(self.decoder))(sol.ys)
             if self.persistence_alpha is not None:
-                out = out + self.persistence_alpha * x_raw  # persist step-wise
+                out = self.residual_gate * out + _persist(x_raw)
             return out
         ys_last = sol.ys[-1] if evolving_out else sol.ys
         out = jax.vmap(self.decoder)(ys_last)
         if self.persistence_alpha is not None:
-            out = out + self.persistence_alpha * x_raw[-1]
+            out = self.residual_gate * out + _persist(x_raw[-1])
         return out
 
 

@@ -145,9 +145,9 @@ class TestTGBModels:
         assert out.shape == (N, N)
 
     def test_tgb_cde_persistence_head(self):
-        """Opt-in head: scores = decoder(z) + alpha * last snapshot. With
-        identical weights and alpha=1, the head output differs from the
-        headless output by exactly x_data[-1]."""
+        """Opt-in head: scores = beta*decoder(z) + alpha*rownorm(x[-1]).
+        At init beta=0 and alpha=1, so the output IS the row-max-normalised
+        last snapshot -- the model starts as the copy-last ranker."""
         ts, coeffs = _adj_coeffs(jr.PRNGKey(0), T_=4)
         vf = PermEquivGraphVectorField(
             input_dim=H, hidden_dim=H, output_dim=H * 4 * 2, num_layers=2,
@@ -164,10 +164,17 @@ class TestTGBModels:
         x0 = jr.normal(jr.PRNGKey(3), (N, N))
         out_b = base(ts[:4], coeffs, x_data, x0)
         out_h = headed(ts[:4], coeffs, x_data, x0)
+        rowmax = jnp.max(jnp.abs(x_data[-1]), axis=-1, keepdims=True)
         np.testing.assert_allclose(
-            np.asarray(out_h - out_b), np.asarray(x_data[-1]),
+            np.asarray(out_h), np.asarray(x_data[-1] / (rowmax + 1e-8)),
             rtol=1e-5, atol=1e-5,
         )
+        # Rankings per source row equal copy-last's at init.
+        assert np.array_equal(
+            np.argsort(np.asarray(out_h), axis=-1),
+            np.argsort(np.asarray(x_data[-1]), axis=-1),
+        )
+        assert np.isfinite(np.asarray(out_b)).all()
 
     def test_tgb_st(self):
         ts, coeffs = _adj_coeffs(jr.PRNGKey(0), T_=4)
