@@ -108,14 +108,18 @@ def run_model_path(n=8192, bw=64, H=32, bs=128, T=4):
     )
     Z = jr.normal(jr.PRNGKey(2), (n, H)) * 0.1
 
-    f_b = jax.jit(lambda z: vf(0.41, z, b_ctrl))
-    f_e = jax.jit(lambda z: vf(0.41, z, e_ctrl))
-    t_b = bench(f_b, Z, iters=20)
-    t_e = bench(f_e, Z, iters=20)
-    err = float(jnp.max(jnp.abs(f_b(Z) - f_e(Z))) / jnp.max(jnp.abs(f_e(Z))))
+    # Controls ride as jit ARGUMENTS (closing over them would embed the
+    # coefficient planes as program constants -- a >100 MB upload through
+    # the remote-compile tunnel).
+    f = jax.jit(lambda z, c: vf(0.41, z, c))
+    t_b = bench(f, Z, b_ctrl, iters=20)
+    t_e = bench(f, Z, e_ctrl, iters=20)
+    err = float(
+        jnp.max(jnp.abs(f(Z, b_ctrl) - f(Z, e_ctrl)))
+        / jnp.max(jnp.abs(f(Z, e_ctrl)))
+    )
     print(
-        f"model-path vf eval        n={n:5d} bw={bw} H={H} L=3
-"
+        f"model-path vf eval        n={n:5d} bw={bw} H={H} L=3\n"
         f"    bcsr-control {t_b*1e6:8.1f}us  ell-control {t_e*1e6:8.1f}us  "
         f"(ell/bcsr {t_e/t_b:5.2f}x, rel_err {err:.2e})"
     )
