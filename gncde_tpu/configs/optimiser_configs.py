@@ -1,4 +1,12 @@
-"""Optimiser/schedule configs (reference src/configs/optimiser_configs.py)."""
+"""Optimiser + LR-schedule configs.
+
+The field names, defaults, and Literal discriminators ARE the YAML
+compatibility surface (reference src/configs/optimiser_configs.py:46-127:
+every reference config's ``optimiser:`` block must validate unchanged,
+including the reference's quirk of listing "sgd"/"adamw" among the
+warmup-schedule name literals). Construction is table-driven over plain
+optax factories.
+"""
 
 from __future__ import annotations
 
@@ -19,6 +27,7 @@ class ConstantScheduleCfg(pydantic.BaseModel):
 
 
 class WarmupCosineDecayScheduleCfg(pydantic.BaseModel):
+    # The extra "sgd"/"adamw" literals mirror the reference schema quirk.
     name: tp.Literal["warmup_cosine_decay_schedule", "sgd", "adamw"] = pydantic.Field(...)
     init_value: float = 0.0
     peak_value: float = 1.0
@@ -38,6 +47,15 @@ class WarmupCosineDecayScheduleCfg(pydantic.BaseModel):
         )
 
 
+# name -> factory(schedule, weight_decay). Only adamw consumes the decay,
+# matching the reference's dispatch.
+_OPTIMISERS = {
+    "sgd": lambda lr, wd: optax.sgd(learning_rate=lr),
+    "adam": lambda lr, wd: optax.adam(learning_rate=lr),
+    "adamw": lambda lr, wd: optax.adamw(learning_rate=lr, weight_decay=wd),
+}
+
+
 class OptimiserCfg(pydantic.BaseModel):
     name: tp.Literal["adam", "sgd", "adamw"] = pydantic.Field(...)
     weight_decay: float = 0.0
@@ -49,15 +67,10 @@ class OptimiserCfg(pydantic.BaseModel):
     model_config = pydantic.ConfigDict(extra="forbid")
 
     def build(self, optimiser_key=None):
+        """(optimiser, schedule); ``gradient_clipping`` prepends the
+        reference's fixed clip_by_global_norm(1.0)."""
         schedule = self.schedule.build()
-        if self.name == "sgd":
-            optimiser = optax.sgd(learning_rate=schedule)
-        elif self.name == "adam":
-            optimiser = optax.adam(learning_rate=schedule)
-        else:
-            optimiser = optax.adamw(
-                learning_rate=schedule, weight_decay=self.weight_decay
-            )
+        optimiser = _OPTIMISERS[self.name](schedule, self.weight_decay)
         if self.gradient_clipping:
             optimiser = optax.chain(optax.clip_by_global_norm(1.0), optimiser)
         return optimiser, schedule

@@ -40,56 +40,46 @@ class VectorFieldCfg(pydantic.BaseModel):
 
     model_config = pydantic.ConfigDict(extra="forbid")
 
-    def build(self, vf_key, hidden_dim_f: tp.Optional[int] = None):
-        vector_field_cls = getattr(vector_fields, self.name)
-        if self.use_control:
-            if self.name == "STGraphVectorField":
-                return vector_field_cls(
-                    input_dim=self.hidden_dim,
-                    hidden_dim=self.hidden_dim,
-                    output_dim=self.hidden_dim * hidden_dim_f,
-                    num_layers=self.num_layers,
-                    node_embed_dim=self.node_embed_dim,
-                    num_nodes=self.num_nodes,
-                    cheb_k=self.cheb_k,
-                    key=vf_key,
-                )
-            if not self.enc_idx:
-                return vector_field_cls(
-                    input_dim=self.hidden_dim,
-                    hidden_dim=self.hidden_dim,
-                    output_dim=self.hidden_dim * self.data_embed_dim * 2,
-                    num_layers=self.num_layers,
-                    data_embed_dim=self.data_embed_dim,
-                    num_nodes=self.num_nodes,
-                    key=vf_key,
-                )
-            return vector_field_cls(
-                input_dim=self.hidden_dim,
-                hidden_dim=self.hidden_dim,
-                output_dim=self.hidden_dim,
-                num_layers=self.num_layers,
-                data_embed_dim=self.data_embed_dim,
+    def _output_dim(self, hidden_dim_f: tp.Optional[int]) -> int:
+        """Reference dimensional rules (vector_field_configs.py:53-109):
+        the ST g-func emits H * H_f entries; a controlled non-enc_idx vf
+        emits H * E * 2 so CDEWrapperVectorField can reshape to
+        (n, H, E, 2); everything else maps H -> H."""
+        if not self.use_control:
+            return self.hidden_dim
+        if self.name == "STGraphVectorField":
+            return self.hidden_dim * hidden_dim_f
+        if self.enc_idx:
+            return self.hidden_dim
+        return self.hidden_dim * self.data_embed_dim * 2
+
+    def _extra_kwargs(self) -> dict:
+        """Per-class constructor surface beyond the (in, hidden, out,
+        layers) core."""
+        if self.name == "STGraphVectorField":
+            return dict(
+                node_embed_dim=self.node_embed_dim,
                 num_nodes=self.num_nodes,
-                enc_idx=self.enc_idx,
-                enc_type=self.enc_type,
-                idx_dim=self.idx_dim,
-                key=vf_key,
+                cheb_k=self.cheb_k,
             )
         if self.name == "GNODEFloorVectorField":
-            return vector_field_cls(
-                input_dim=self.hidden_dim,
-                hidden_dim=self.hidden_dim,
-                output_dim=self.hidden_dim,
-                num_layers=self.num_layers,
-                key=vf_key,
+            return {}
+        kw = dict(
+            data_embed_dim=self.data_embed_dim, num_nodes=self.num_nodes
+        )
+        if self.use_control and self.enc_idx:
+            kw.update(
+                enc_idx=True, enc_type=self.enc_type, idx_dim=self.idx_dim
             )
-        return vector_field_cls(
+        return kw
+
+    def build(self, vf_key, hidden_dim_f: tp.Optional[int] = None):
+        cls = getattr(vector_fields, self.name)
+        return cls(
             input_dim=self.hidden_dim,
             hidden_dim=self.hidden_dim,
-            output_dim=self.hidden_dim,
+            output_dim=self._output_dim(hidden_dim_f),
             num_layers=self.num_layers,
-            data_embed_dim=self.data_embed_dim,
-            num_nodes=self.num_nodes,
             key=vf_key,
+            **self._extra_kwargs(),
         )

@@ -5,6 +5,13 @@ Builds one jitted train step whose inputs carry NamedShardings on a
 combination across the data axis and the collectives for the node-sharded
 dense operator products. This is the multi-chip path the single-chip trainer
 composes with (the reference has no distributed path at all).
+
+NOTE on kernels: this path targets the DENSE XLA fused operator (the SPMD
+partitioner can slice and insert collectives around plain HLO). The Pallas
+megakernel is a custom call GSPMD cannot partition -- multi-chip runs
+should keep ``fusion_backend: dense`` (the node-sharded explicit-collective
+path in parallel/sharded_ops.py is the hand-written alternative); the
+megakernel remains the single-chip fast path.
 """
 
 from __future__ import annotations
