@@ -199,6 +199,40 @@ def test_tgb_trainer_e2e(tmp_path, monkeypatch):
     assert 0.0 <= summary["test_ndcg@10"] <= 1.0
 
 
+def test_tgb_persistence_head_trainer_e2e(tmp_path, monkeypatch):
+    """TGB with persistence_head: the gated copy-last head trains through
+    the full loop (alpha/beta are optimized with the rest of the model)."""
+    from gncde_tpu.train.windowed import TGBTrainer
+
+    data_dir = _write_tgb_fixture(tmp_path)
+    cfg = dict(
+        model=dict(
+            name="tgb_graph_neural_cde", hidden_dim=4, interpolation="cubic",
+            method="Tsit5", return_sequence=False, dt0=0.1,
+            persistence_head=True,
+            vector_field=dict(
+                name="PermEquivGraphVectorField", hidden_dim=4, num_layers=2,
+                data_embed_dim=4, num_nodes=12,
+            ),
+        ),
+        dataset=dict(
+            name="tgbn-trade", window_size=3, stride=3, frequency="None",
+            data_dir=str(data_dir), interpolation="cubic",
+            cache_dir=str(tmp_path / "cache"),
+        ),
+        optimiser=dict(
+            name="adamw", weight_decay=1e-4, gradient_clipping=True,
+            schedule=dict(name="constant_schedule", value=1e-3),
+        ),
+        epochs=2, eval_freq=1, log_freq=1, min_epochs=0,
+        checkpoint_dir=str(tmp_path / "ckpt"), logger_name="test-tgb-persist",
+        wandb=dict(project="test", mode="disabled"),
+    )
+    summary = TGBTrainer(**cfg).run()
+    assert "test_ndcg@10" in summary
+    assert 0.0 <= summary["test_ndcg@10"] <= 1.0
+
+
 def test_oversampling_trainer_e2e(tmp_path):
     from gncde_tpu.train.oversampling import OversamplingTrainer
 
