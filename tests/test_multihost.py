@@ -254,3 +254,136 @@ def test_two_process_shard_aware_cache(tmp_path):
     names = [f.name for f in shared.glob("*default_train*.pkl")]
     assert any("host0of2" in f for f in names), names
     assert any("host1of2" in f for f in names), names
+
+
+TRAIN_WORKER = r"""
+import os, sys
+import numpy as np
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+sys.path.insert(0, os.environ["REPO_ROOT"])
+
+from gncde_tpu.parallel import multihost
+
+multihost.initialize(
+    coordinator_address=os.environ["COORDINATOR_ADDRESS"],
+    num_processes=2,
+    process_id=int(os.environ["PROCESS_ID"]),
+)
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import optax
+
+from gncde_tpu.interp import backward_hermite_coefficients
+from gncde_tpu.models import GraphNeuralCDE
+from gncde_tpu.models.vector_fields import PermEquivGraphVectorField
+from gncde_tpu.nn import partition, is_inexact_array
+from gncde_tpu.train.sharded import make_sharded_step
+
+mesh = multihost.make_global_mesh(graph_axis=2)
+
+n, T, H, B = 16, 6, 4, 8
+key = jr.PRNGKey(0)  # same seed on both processes -> identical model
+k_vf, k_model, k_A, k_x0 = jr.split(key, 4)
+vf = PermEquivGraphVectorField(
+    input_dim=H, hidden_dim=H, output_dim=H, num_layers=2,
+    data_embed_dim=1, num_nodes=n, key=k_vf,
+)
+model = GraphNeuralCDE(vf, hidden_dim=H, interpolation="cubic",
+                       method="Tsit5", return_sequence=True, max_steps=32,
+                       key=k_model)
+
+ts = jnp.linspace(0.0, 1.0, T)
+A_path = jr.uniform(k_A, (B, T, n, n)) * 0.1
+t_idx = jnp.broadcast_to(ts[None, :, None, None], (B, T, n, n))
+X = jnp.stack([t_idx, A_path], axis=-1)
+coeffs = jax.vmap(lambda x: backward_hermite_coefficients(ts, x))(X)
+ts_b = jnp.broadcast_to(ts, (B, T))
+x0 = jr.normal(k_x0, (B, n, 1))
+true_y = jnp.zeros((B, T, n))
+data = (ts_b, coeffs, true_y, x0)
+
+def loss(m, d):
+    ts_, cf, label, x0_ = d
+    pred = jax.vmap(m)(ts_, cf, x0_)
+    return jnp.mean((jnp.squeeze(pred, -1) - label) ** 2)
+
+optimiser = optax.adamw(1e-3)
+params, _ = partition(model, is_inexact_array)
+opt_state = optimiser.init(params)
+
+# Each process feeds only ITS local batch rows; distribute_batch assembles
+# the global array from per-process shards.
+rows = multihost.process_batch_slice(B)
+local = jax.tree_util.tree_map(lambda x: np.asarray(x)[rows], data)
+
+with mesh:
+    step, place = make_sharded_step(mesh, optimiser, loss, local)
+    model_p, opt_state_p, data_p = place(model, opt_state, local)
+    loss1, model_p, opt_state_p = step(model_p, opt_state_p, data_p)
+    loss2, model_p, opt_state_p = step(model_p, opt_state_p, data_p)
+
+l1 = float(jax.device_get(loss1))
+l2 = float(jax.device_get(loss2))
+params_after, _ = partition(model_p, is_inexact_array)
+checksum = float(sum(
+    jnp.sum(jnp.abs(p)) for p in jax.tree_util.tree_leaves(params_after)
+    if p is not None
+))
+assert np.isfinite(l1) and np.isfinite(l2), (l1, l2)
+assert l2 < l1, "second step did not reduce the loss"
+print(f"TRAINOK process={jax.process_index()} loss1={l1:.9f} "
+      f"loss2={l2:.9f} checksum={checksum:.9f}")
+"""
+
+
+def test_two_process_sharded_train_step(tmp_path):
+    """FULL sharded training step across 2 OS processes (DP over the batch
+    x graph partition over nodes): the loss decreases, and loss values AND
+    the post-step parameter checksum agree bit-for-bit across processes
+    (the psum'd gradients kept the replicated weights in sync)."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "train_worker.py"
+    script.write_text(TRAIN_WORKER)
+    port = _free_port()
+    procs = []
+    for pid in (0, 1):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env.pop("JAX_PLATFORMS", None)
+        env.update(
+            COORDINATOR_ADDRESS=f"localhost:{port}",
+            PROCESS_ID=str(pid),
+            REPO_ROOT=repo_root,
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(script)], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+        )
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+                q.wait()
+            pytest.fail("train worker timed out")
+        outs.append(out)
+
+    lines = {}
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out}"
+        for line in out.splitlines():
+            if line.startswith("TRAINOK"):
+                kv = dict(tok.split("=") for tok in line.split()[1:])
+                lines[int(kv["process"])] = kv
+    assert set(lines) == {0, 1}, outs
+    for field in ("loss1", "loss2", "checksum"):
+        assert lines[0][field] == lines[1][field], (field, lines)
