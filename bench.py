@@ -216,7 +216,6 @@ def train_step_time(vf, ts, coeffs, y0, adjoint="checkpointed",
     loss, m = step(vf, coeffs, y0)
     loss.block_until_ready()
     t0 = time.perf_counter()
-    reps = 3
     for _ in range(reps):
         loss, m = step(vf, coeffs, y0)
     loss.block_until_ready()

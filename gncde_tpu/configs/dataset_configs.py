@@ -186,6 +186,14 @@ class _WindowedDataSetCfg(pydantic.BaseModel):
     interpolation: tp.Literal["linear", "cubic"] = "cubic"
     cache_dir: str = ".cache"
     seed: int = 1234
+    # OPT-IN multi-host data parallelism over training windows: each host
+    # processes/caches only its round-robin shard. Leave False unless the
+    # surrounding training loop synchronises gradients across hosts (the
+    # stock windowed trainers do NOT -- they are single-host loops; with
+    # sharding on but no psum, each host would silently train a divergent
+    # model). The host-keyed cache FILES are always on under multi-host,
+    # independent of this knob (no write races either way).
+    shard_train_windows: bool = False
 
     def _hash_config(self) -> str:
         config_dict = self.model_dump(exclude={"cache_dir"})
@@ -234,14 +242,13 @@ class _WindowedDataSetCfg(pydantic.BaseModel):
         def compute():
             splits = self._split_windows()
             windows = splits[split_idx]
-            if split_idx == 0:
-                # Multi-host: each host processes and caches only ITS
-                # round-robin shard of the training windows (the data-
-                # parallel unit of the windowed trainers); the disjoint
-                # window split itself is host-independent (same seed), so
-                # shards are disjoint and exhaustive. Eval splits stay
-                # whole on every host (metrics must be host-independent);
-                # the host-keyed cache file still prevents write races.
+            if split_idx == 0 and self.shard_train_windows:
+                # Opt-in multi-host DP over training windows: each host
+                # processes and caches only ITS round-robin shard. The
+                # disjoint window split itself is host-independent (same
+                # seed), so shards are disjoint and exhaustive. Eval
+                # splits stay whole on every host (metrics must be
+                # host-independent).
                 pi, pc = _host_shard()
                 if pc > 1:
                     windows = windows[pi::pc]

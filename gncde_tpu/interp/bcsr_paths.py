@@ -55,16 +55,29 @@ def _pad_slots(block_idx: np.ndarray, nblocks: np.ndarray, kb: int):
     return out, nblocks
 
 
+def _patterns(planes: tp.Sequence[np.ndarray], block_size: int):
+    """((block_idx, nblocks), (block_idx_T, nblocks_T)) of the union block
+    pattern over every plane/time."""
+    mask = _union_mask(planes)
+    return (
+        bcsr_pattern_from_mask(mask, block_size),
+        bcsr_pattern_from_mask(mask.T, block_size),
+    )
+
+
 def _build_layout(planes: tp.Sequence[np.ndarray], block_size: int,
                   kb: tp.Optional[int] = None,
-                  kb_T: tp.Optional[int] = None) -> BCSRLayout:
+                  kb_T: tp.Optional[int] = None,
+                  pats=None) -> BCSRLayout:
     """Union block pattern (and its transpose) over every plane/time.
     ``kb``/``kb_T`` optionally widen the slot counts (batched controls
-    share one width so elements tree-stack)."""
-    mask = _union_mask(planes)
-    n = mask.shape[0]
-    block_idx, nblocks = bcsr_pattern_from_mask(mask, block_size)
-    block_idx_T, nblocks_T = bcsr_pattern_from_mask(mask.T, block_size)
+    share one width so elements tree-stack); ``pats`` passes patterns
+    precomputed by :func:`_patterns` (the batched builder computes them
+    once for the width scan and reuses them here)."""
+    n = np.asarray(planes[0]).shape[-1]
+    if pats is None:
+        pats = _patterns(planes, block_size)
+    (block_idx, nblocks), (block_idx_T, nblocks_T) = pats
     if kb is not None:
         block_idx, nblocks = _pad_slots(block_idx, nblocks, kb)
     if kb_T is not None:
@@ -173,42 +186,12 @@ class BCSRMatrixControl(Module):
         """Build from dense (T, n, n) adjacency knots (host-side prep)."""
         ts = jnp.asarray(ts)
         if interpolation == "linear":
-            planes = [np.asarray(A_path)]
-            layout = _build_layout(planes, block_size)
-            bi = np.asarray(layout.block_idx)
-            nb_ = np.asarray(layout.nblocks)
-            biT = np.asarray(layout.block_idx_T)
-            nbT = np.asarray(layout.nblocks_T)
-            knots = jnp.asarray(
-                bcsr_gather_blocks(planes[0], bi, nb_, block_size)
+            return cls._build_one_linear(
+                ts, np.asarray(A_path), block_size, None, None
             )
-            knots_T = jnp.asarray(
-                bcsr_gather_blocks(
-                    np.swapaxes(np.asarray(A_path), -1, -2), biT, nbT,
-                    block_size,
-                )
-            )
-            return cls(BCSRLinearMatrixPath(ts, knots, knots_T, layout))
         coeffs = backward_hermite_coefficients(ts, jnp.asarray(A_path))
         planes = [np.asarray(c) for c in coeffs]
-        layout = _build_layout(planes, block_size)
-        bi = np.asarray(layout.block_idx)
-        nb_ = np.asarray(layout.nblocks)
-        biT = np.asarray(layout.block_idx_T)
-        nbT = np.asarray(layout.nblocks_T)
-        gathered = tuple(
-            jnp.asarray(bcsr_gather_blocks(p, bi, nb_, block_size))
-            for p in planes
-        )
-        gathered_T = tuple(
-            jnp.asarray(
-                bcsr_gather_blocks(
-                    np.swapaxes(p, -1, -2), biT, nbT, block_size
-                )
-            )
-            for p in planes
-        )
-        return cls(BCSRCubicMatrixPath(ts, gathered, gathered_T, layout))
+        return cls._build_one(ts, planes, block_size, None, None)
 
     @classmethod
     def from_stacked(
@@ -233,43 +216,42 @@ class BCSRMatrixControl(Module):
         if interpolation == "linear":
             knots = np.asarray(coeffs)[..., -1]
             if knots.ndim == 4:
-                elems = [
-                    cls.from_knots(ts[b] if ts.ndim == 2 else ts, knots[b],
-                                   "linear", block_size)
-                    for b in range(knots.shape[0])
-                ]
-                return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *elems)
-            return cls.from_knots(ts, knots, "linear", block_size)
+                return cls._build_batched(
+                    ts, [knots], block_size, cls._build_one_linear
+                )
+            return cls._build_one_linear(ts, knots, block_size, None, None)
         planes = [np.asarray(c)[..., -1] for c in coeffs]
         if planes[0].ndim == 4:  # batched: (B, T-1, n, n)
-            B = planes[0].shape[0]
-            pats = [
-                bcsr_pattern_from_mask(
-                    _union_mask([p[b] for p in planes]), block_size
-                )
-                for b in range(B)
-            ]
-            patsT = [
-                bcsr_pattern_from_mask(
-                    _union_mask([p[b] for p in planes]).T, block_size
-                )
-                for b in range(B)
-            ]
-            kb = max(p[0].shape[1] for p in pats)
-            kb_T = max(p[0].shape[1] for p in patsT)
-            elems = [
-                cls._build_one(
-                    ts[b] if ts.ndim == 2 else ts,
-                    [p[b] for p in planes], block_size, kb, kb_T,
-                )
-                for b in range(B)
-            ]
-            return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *elems)
+            return cls._build_batched(ts, planes, block_size, cls._build_one)
         return cls._build_one(ts, planes, block_size, None, None)
 
     @classmethod
-    def _build_one(cls, ts, planes, block_size, kb, kb_T):
-        layout = _build_layout(planes, block_size, kb, kb_T)
+    def _build_batched(cls, ts, planes, block_size, build_one):
+        """Per-element patterns widened to one shared slot count, leaves
+        stacked along axis 0 (so the control vmaps); each element's
+        patterns are computed ONCE and reused for the build. Serves both
+        the cubic (4-plane) and linear (single knots plane) layouts."""
+        B = planes[0].shape[0]
+        pats = [
+            _patterns([p[b] for p in planes], block_size) for b in range(B)
+        ]
+        kb = max(p[0][0].shape[1] for p in pats)
+        kb_T = max(p[1][0].shape[1] for p in pats)
+        elems = []
+        for b in range(B):
+            ts_b = ts[b] if ts.ndim == 2 else ts
+            if build_one is cls._build_one:
+                arg = [p[b] for p in planes]
+            else:
+                arg = planes[0][b]
+            elems.append(
+                build_one(ts_b, arg, block_size, kb, kb_T, pats=pats[b])
+            )
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *elems)
+
+    @classmethod
+    def _build_one(cls, ts, planes, block_size, kb, kb_T, pats=None):
+        layout = _build_layout(planes, block_size, kb, kb_T, pats)
         bi = np.asarray(layout.block_idx)
         nb_ = np.asarray(layout.nblocks)
         biT = np.asarray(layout.block_idx_T)
@@ -285,6 +267,24 @@ class BCSRMatrixControl(Module):
             for p in planes
         )
         return cls(BCSRCubicMatrixPath(ts, gathered, gathered_T, layout))
+
+    @classmethod
+    def _build_one_linear(cls, ts, knots_plane, block_size, kb, kb_T,
+                          pats=None):
+        layout = _build_layout([knots_plane], block_size, kb, kb_T, pats)
+        bi = np.asarray(layout.block_idx)
+        nb_ = np.asarray(layout.nblocks)
+        biT = np.asarray(layout.block_idx_T)
+        nbT = np.asarray(layout.nblocks_T)
+        knots = jnp.asarray(
+            bcsr_gather_blocks(knots_plane, bi, nb_, block_size)
+        )
+        knots_T = jnp.asarray(
+            bcsr_gather_blocks(
+                np.swapaxes(knots_plane, -1, -2), biT, nbT, block_size
+            )
+        )
+        return cls(BCSRLinearMatrixPath(ts, knots, knots_T, layout))
 
     def adj(self, t) -> BCSRVal:
         return self.path.evaluate(t)
@@ -321,13 +321,17 @@ def build_sparse_control(
     from ..ops.bcsr import blocked_fill_ratio
 
     if sparse_format == "auto":
+        # Decide on the SAME union-over-planes mask the layout uses: for
+        # cubic controls the d plane alone is identically zero wherever an
+        # edge weight is constant in time (a static banded graph would be
+        # misrouted to ELL if judged by one plane).
         if interpolation == "linear":
-            plane = np.asarray(coeffs)[..., -1]
+            planes = [np.asarray(coeffs)[..., -1]]
         else:
-            plane = np.asarray(coeffs[0])[..., -1]
-        if plane.ndim == 4:  # batched: decide on element 0
-            plane = plane[0]
-        mask = np.any(plane != 0.0, axis=0)
+            planes = [np.asarray(c)[..., -1] for c in coeffs]
+        if planes[0].ndim == 4:  # batched: decide on element 0
+            planes = [p[0] for p in planes]
+        mask = _union_mask(planes)
         n = mask.shape[0]
         ratio = blocked_fill_ratio(mask, block_size)
         sparse_format = "bcsr" if (ratio >= 0.1 and n >= 2048) else "ell"

@@ -233,3 +233,53 @@ def test_blocked_fill_ratio_detection():
     # above the 0.1 routing threshold; uniform 1% sits at ~its density.
     assert B.blocked_fill_ratio(banded, 64) > 0.2
     assert B.blocked_fill_ratio(uniform, 64) < 0.05
+
+
+def test_from_stacked_linear_batched_heterogeneous_patterns():
+    """Batched LINEAR controls with different per-element block patterns
+    must widen to one shared slot count before tree-stacking (regression:
+    the linear branch skipped the widening the cubic branch had)."""
+    n, T, batch, bs = 64, 4, 2, 16
+    i, j = np.indices((n, n))
+    knots = np.zeros((batch, T, n, n), np.float32)
+    knots[0][:, np.abs(i - j) <= 2] = 0.5       # narrow band: kb small
+    knots[1][:, np.abs(i - j) <= 30] = 0.5      # wide band: kb larger
+    ts = jnp.broadcast_to(jnp.linspace(0.0, 1.0, T), (batch, T))
+    t_idx = np.broadcast_to(
+        np.arange(T, dtype=np.float32)[:, None, None], (T, n, n)
+    )
+    stacked = jnp.asarray(np.stack(
+        [np.stack([t_idx, knots[b]], axis=-1) for b in range(batch)]
+    ))
+    ctrl = BCSRMatrixControl.from_stacked("linear", ts, stacked,
+                                          block_size=bs)
+    # Elements stacked under one widened slot count; the control vmaps and
+    # each element's A(0) reproduces its own knot values.
+    assert ctrl.path.knots.shape[0] == batch
+    blocks0 = jax.vmap(lambda c: c.adj(jnp.float32(0.0)).blocks)(ctrl)
+    assert blocks0.shape[0] == batch
+    for b in range(batch):
+        lay = jax.tree_util.tree_map(lambda x: x[b], ctrl.path.layout)
+        dense = B.bcsr_to_dense(B.BCSR(lay.block_idx, blocks0[b], n))
+        np.testing.assert_allclose(np.asarray(dense), knots[b, 0],
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_auto_routing_static_banded_graph():
+    """'auto' must route a STATIC banded graph (constant edge weights ->
+    zero d/c planes) to BCSR at scaled n (regression: the statistic was
+    computed from the d plane only and saw an empty mask)."""
+    from gncde_tpu.interp import build_sparse_control
+    from gncde_tpu.interp.bcsr_paths import BCSRMatrixControl as BC
+
+    n, T = 2048, 4
+    i, j = np.indices((n, n))
+    A = np.where(np.abs(i - j) <= 48, 0.5, 0.0).astype(np.float32)
+    A_path = np.broadcast_to(A, (T, n, n))  # constant in time
+    ts = jnp.linspace(0.0, 1.0, T)
+    t_idx = np.broadcast_to(np.asarray(ts)[:, None, None], (T, n, n))
+    stacked = jnp.asarray(np.stack([t_idx, A_path], axis=-1))
+    coeffs = backward_hermite_coefficients(ts, stacked)
+    ctrl = build_sparse_control("cubic", ts, coeffs, sparse_format="auto",
+                                block_size=128)
+    assert isinstance(ctrl, BC), type(ctrl)

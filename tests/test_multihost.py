@@ -153,6 +153,7 @@ cache_dir = os.environ["SHARED_CACHE"]
 cfg = PGTDataSetCfg(
     name="england-covid", window_size=5, stride=5,
     interpolation="cubic", cache_dir=cache_dir,
+    shard_train_windows=True,
 )
 
 pi = jax.process_index()
