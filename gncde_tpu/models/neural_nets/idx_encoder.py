@@ -31,12 +31,21 @@ class IdxEncoder(Module):
         else:
             raise ValueError(f"Unknown idx encoder type {type!r}")
 
-    def __call__(self) -> jax.Array:
+    def node_embedding(self) -> jax.Array:
+        """Per-node embeddings (n, d) -- the factored form consumers use
+        (vector_fields._modulate_matrix decomposes the pairwise concat's
+        first affine layer, so the (n, n, 2d) product never materialises)."""
         n = self.num_nodes
         if self.type == "emb":
-            emb = jax.vmap(self.module)(jnp.arange(n))
-        else:
-            emb = jax.vmap(self.module)(jnp.arange(n, dtype=jnp.float32)[:, None])
+            return jax.vmap(self.module)(jnp.arange(n))
+        return jax.vmap(self.module)(jnp.arange(n, dtype=jnp.float32)[:, None])
+
+    def __call__(self) -> jax.Array:
+        """Reference-shape output: all-pairs concat (n, n, 2d)
+        (idx_encoder.py reference semantics; kept for parity tests --
+        O(n^2 d) memory, prefer :meth:`node_embedding`)."""
+        emb = self.node_embedding()
+        n = self.num_nodes
         emb_i = jnp.repeat(emb[:, None, :], n, axis=1)  # (n, n, d)
         emb_j = jnp.repeat(emb[None, :, :], n, axis=0)  # (n, n, d)
         return jnp.concatenate([emb_i, emb_j], axis=-1)

@@ -77,15 +77,56 @@ def _maybe_time_scale(tgrad, node_features):
     return _time_scale(tgrad, node_features)
 
 
-def _modulate_matrix(mat: jax.Array, mlp: MLP, pairwise_emb: jax.Array) -> jax.Array:
+def _modulate_matrix(mat: jax.Array, mlp: MLP, emb: jax.Array) -> jax.Array:
     """Per-edge MLP modulation: concat([mat_ij, emb_i, emb_j]) -> scalar
     (reference perm_equiv_dir_graph_vector_field.py:185-199; the undirected
     variants' enc_idx path is dead code in the reference -- commented-out
     fields, graph_vector_field.py:21-22,71-77 -- re-enabled here with the
-    same semantics)."""
-    feats = jnp.concatenate([mat[:, :, None], pairwise_emb], axis=-1)
-    out = jax.vmap(jax.vmap(mlp))(feats)
-    return jnp.squeeze(out, axis=-1)
+    same semantics).
+
+    TPU-native decomposition (same math as the reference's nested-vmap MLP
+    over the (n, n, 2 idx_dim + 1) concat): the FIRST layer is affine in
+    the concat, so its pairwise part is two (n, idx_dim) @ (idx_dim, w)
+    matmuls broadcast-added -- the concat (9 GB at tgbn-genre's n=1505,
+    idx_dim=512) is never materialised, and per-eval work drops from
+    O(n^2 (2 idx_dim + 1) w) to O(n^2 w^2) (~200x at the reference's
+    idx_dim=512, width 8). ``emb``: per-node embeddings (n, idx_dim).
+    """
+    from ...nn.layers import _ACTIVATIONS
+
+    W1 = mlp.layers[0].weight  # (w, 2 d + 1), columns [a | emb_i | emb_j]
+    b1 = mlp.layers[0].bias
+    d = emb.shape[1]
+    wa = W1[:, 0]
+    # HIGHEST matmul precision throughout: these contractions are tiny
+    # (n x d x w and w x w), but the TPU default (bf16 passes) loses ~1e-2
+    # relative accuracy on the d=512-wide sums the reference evaluates in
+    # f32.
+    hp = jax.lax.Precision.HIGHEST
+    Ei = jnp.einsum("nd,wd->nw", emb, W1[:, 1 : 1 + d], precision=hp)
+    Ej = jnp.einsum("nd,wd->nw", emb, W1[:, 1 + d :], precision=hp)
+    # Channel-FIRST activations (w, n, n): with the tiny width minormost,
+    # XLA pads w=8 to the 128-lane register width and every intermediate
+    # carries 16x dead memory (measured 1.9x total win instead of ~50x);
+    # with n minormost the layout is dense and the hidden layers are
+    # einsum contractions over the leading axis.
+    z = (wa[:, None, None] * mat[None, :, :]
+         + Ei.T[:, :, None] + Ej.T[:, None, :])
+    if b1 is not None:
+        z = z + b1[:, None, None]
+    act = _ACTIVATIONS[mlp.activation]
+    z = act(z)
+    for layer in mlp.layers[1:-1]:
+        z = jnp.einsum("vw,wij->vij", layer.weight, z, precision=hp)
+        if layer.bias is not None:
+            z = z + layer.bias[:, None, None]
+        z = act(z)
+    last = mlp.layers[-1]
+    z = jnp.einsum("vw,wij->vij", last.weight, z, precision=hp)
+    if last.bias is not None:
+        z = z + last.bias[:, None, None]
+    z = _ACTIVATIONS[mlp.final_activation](z)
+    return jnp.squeeze(z, axis=0)
 
 
 class PermEquivGraphVectorField(Module):
@@ -181,10 +222,10 @@ class PermEquivGraphVectorField(Module):
 
         adj, adj_derivative, tgrad = control_terms(control_adj, t)
         if self.enc_idx:
-            pairwise_emb = self.idx_enc()
-            adj = _modulate_matrix(adj, self.msg_func_adj, pairwise_emb)
+            emb = self.idx_enc.node_embedding()
+            adj = _modulate_matrix(adj, self.msg_func_adj, emb)
             adj_derivative = _modulate_matrix(
-                adj_derivative, self.msg_func_adj_deriv, pairwise_emb
+                adj_derivative, self.msg_func_adj_deriv, emb
             )
         out = _run_stack(self.gnn_layers, node_features, adj, adj_derivative)
         return _maybe_time_scale(tgrad, out)
@@ -239,10 +280,8 @@ class PermEquivDirGraphVectorField(Module):
             key=msg_func_adj_deriv_key,
         )
 
-    def _modulate(self, mat: jax.Array, mlp: MLP, pairwise_emb: jax.Array) -> jax.Array:
-        feats = jnp.concatenate([mat[:, :, None], pairwise_emb], axis=-1)
-        out = jax.vmap(jax.vmap(mlp))(feats)
-        return jnp.squeeze(out, axis=-1)
+    def _modulate(self, mat: jax.Array, mlp: MLP, emb: jax.Array) -> jax.Array:
+        return _modulate_matrix(mat, mlp, emb)
 
     def __call__(self, t, y, args):
         node_features, control_adj = y, args
@@ -276,10 +315,10 @@ class PermEquivDirGraphVectorField(Module):
         adj, adj_derivative, tgrad = control_terms(control_adj, t)
 
         if self.enc_idx:
-            pairwise_emb = self.idx_enc()
-            adj = self._modulate(adj, self.msg_func_adj, pairwise_emb)
+            emb = self.idx_enc.node_embedding()
+            adj = self._modulate(adj, self.msg_func_adj, emb)
             adj_derivative = self._modulate(
-                adj_derivative, self.msg_func_adj_deriv, pairwise_emb
+                adj_derivative, self.msg_func_adj_deriv, emb
             )
 
         out = _run_stack(self.gnn_layers, node_features, adj, adj_derivative)
@@ -345,8 +384,8 @@ class GraphVectorField(Module):
         else:
             message = adj + dadj
         if self.enc_idx:
-            pairwise_emb = self.idx_enc()
-            message = _modulate_matrix(message, self.msg_func, pairwise_emb)
+            emb = self.idx_enc.node_embedding()
+            message = _modulate_matrix(message, self.msg_func, emb)
         out = _run_stack(self.gnn_layers, node_features, message)
         return _maybe_time_scale(tgrad, out)
 

@@ -86,3 +86,31 @@ def test_tgb_data_encoder_reuses_encoder_key():
 def test_mlp_depth_zero_single_linear():
     m = MLP(in_size=3, out_size=2, width_size=8, depth=0, key=jr.PRNGKey(7))
     assert len(m.layers) == 1
+
+
+def test_modulate_matrix_decomposition_matches_naive():
+    """The low-rank per-edge MLP modulation (first layer decomposed into
+    two (n, d) matmuls + broadcast) equals the reference's nested-vmap MLP
+    over the materialised (n, n, 2d+1) concat."""
+    import jax
+    import jax.numpy as jnp
+    import jax.random as jr
+    import numpy as np
+
+    from gncde_tpu.models.neural_nets import IdxEncoder
+    from gncde_tpu.models.vector_fields.fields import _modulate_matrix
+    from gncde_tpu.nn import MLP
+
+    n, d = 17, 16
+    enc = IdxEncoder(n, d, key=jr.PRNGKey(0), type="mlp")
+    mlp = MLP(in_size=2 * d + 1, out_size=1, width_size=8, depth=2,
+              key=jr.PRNGKey(1))
+    mat = jr.normal(jr.PRNGKey(2), (n, n))
+
+    got = _modulate_matrix(mat, mlp, enc.node_embedding())
+
+    pairwise = enc()  # (n, n, 2d) reference layout
+    feats = jnp.concatenate([mat[:, :, None], pairwise], axis=-1)
+    ref = jnp.squeeze(jax.vmap(jax.vmap(mlp))(feats), axis=-1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
