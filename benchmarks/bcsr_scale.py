@@ -2,13 +2,12 @@
 
 A dense cubic control at n=32768 stores 4 (T-1) n^2 coefficient planes
 (~17 GB bf16 per interval) -- infeasible on a 16 GB chip, and even the
-HOST cannot afford the dense scaffold. This benchmark therefore builds the
-blocked control analytically: a circular band's entries are (T,)-signals
-indexed by (row, offset), Hermite interpolation is entrywise, so the
-coefficient planes are computed in BAND layout (T-1, n, 2 bw + 1) and the
-(bs, bs) tiles of both BCSR layouts are assembled directly -- no n^2
-object ever exists on host or device. The training step then runs through
-the Pallas block kernels (ops/bcsr.py) end to end.
+HOST cannot afford a dense scaffold. The control is therefore built
+straight from per-knot EDGE LISTS through the O(nnz) production path
+(interp.bcsr_control_from_edge_snapshots: C++ pattern/scatter kernels via
+ctypes, entrywise Hermite over the tile stacks) and the training step runs
+through the Pallas block kernels (ops/bcsr.py) end to end. No n^2 object
+ever exists on host or device.
 
 Run on the TPU chip:  python benchmarks/bcsr_scale.py
 """
@@ -30,32 +29,8 @@ import jax.random as jr
 import numpy as np
 
 
-def band_to_tiles(band, offs, n, bs, block_idx, nblocks):
-    """Assemble BCSR tiles from a band-layout plane.
-
-    band: (n, K) with band[r, k] = dense[r, (r + offs[k]) % n].
-    Returns (nb, kb, bs, bs) float32 tiles at the given blocked pattern.
-    """
-    nb = n // bs
-    kb = block_idx.shape[1]
-    K = band.shape[1]
-    tiles = np.zeros((nb, kb, bs, bs), np.float32)
-    rows_local = np.arange(bs)
-    for rb in range(nb):
-        r_global = rb * bs + rows_local
-        strip = np.zeros((bs, n), np.float32)
-        cols = (r_global[:, None] + offs[None, :]) % n
-        strip[rows_local[:, None].repeat(K, 1), cols] = band[r_global]
-        for s in range(nblocks[rb]):
-            cb = block_idx[rb, s]
-            tiles[rb, s] = strip[:, cb * bs : (cb + 1) * bs]
-    return tiles
-
-
 def main(n=32768, bw=64, bs=128, H=32, L=3, T=3):
-    from gncde_tpu.interp.bcsr_paths import BCSRCubicMatrixPath
-    from gncde_tpu.interp import BCSRMatrixControl, backward_hermite_coefficients
-    from gncde_tpu.ops.bcsr import BCSRLayout, bcsr_diag_slots
+    from gncde_tpu.interp import bcsr_control_from_edge_snapshots
     from gncde_tpu.models.vector_fields import PermEquivGraphVectorField
     from gncde_tpu.nn import apply_updates, filter_value_and_grad
     from gncde_tpu.solve import (
@@ -64,70 +39,30 @@ def main(n=32768, bw=64, bs=128, H=32, L=3, T=3):
 
     print(f"backend: {jax.default_backend()}  n={n} bw={bw} bs={bs} H={H} L={L}")
     rng = np.random.default_rng(0)
-    offs = np.arange(-bw, bw + 1)
-    K = offs.size
-    nb = n // bs
+    # Circular +-bw band as per-knot edge lists (nnz = n (2 bw + 1)).
+    i = np.repeat(np.arange(n), 2 * bw + 1)
+    o = np.tile(np.arange(-bw, bw + 1), n)
+    src, dst = i, (i + o) % n
+    ts = jnp.linspace(0.0, 1.0, T)
+    snapshots = [
+        (src, dst, 0.1 * rng.random(src.size).astype(np.float32))
+        for _ in range(T)
+    ]
 
     t0 = time.perf_counter()
-    # Band-layout knot values + entrywise Hermite coefficients (host CPU).
-    band_knots = 0.1 * rng.random((T, n, K)).astype(np.float32)
-    ts = jnp.linspace(0.0, 1.0, T)
-    with jax.default_device(jax.devices("cpu")[0]):
-        band_coeffs = [
-            np.asarray(c)
-            for c in backward_hermite_coefficients(ts, jnp.asarray(band_knots))
-        ]  # 4 x (T-1, n, K)
-
-    # Blocked pattern of a circular +-bw band at bs | n: each block-row
-    # touches col-blocks {rb-1, rb, rb+1} (mod nb).
-    block_idx = np.stack(
-        [
-            np.mod(np.arange(nb) - 1, nb),
-            np.arange(nb),
-            np.mod(np.arange(nb) + 1, nb),
-        ],
-        axis=1,
-    ).astype(np.int32)
-    nblocks = np.full((nb,), 3, np.int32)
-    diag_slot = bcsr_diag_slots(block_idx, nblocks)
-    layout = BCSRLayout(
-        jnp.asarray(block_idx), jnp.asarray(nblocks),
-        jnp.asarray(block_idx), jnp.asarray(nblocks),  # symmetric pattern
-        jnp.asarray(diag_slot), n, bs,
-    )
-
-    def plane_tiles(plane_band):
-        return band_to_tiles(plane_band, offs, n, bs, block_idx, nblocks)
-
-    def plane_tiles_T(plane_band):
-        # dense^T in band layout: bandT[r, k] = band[(r + offs[k]) % n,
-        # K-1-k] (offset negated).
-        r = np.arange(n)[:, None]
-        bandT = plane_band[(r + offs[None, :]) % n, (K - 1 - np.arange(K))[None, :]]
-        return band_to_tiles(bandT, offs, n, bs, block_idx, nblocks)
-
-    coeffs = tuple(
-        jnp.asarray(
-            np.stack([plane_tiles(p[i]) for i in range(T - 1)]), jnp.bfloat16
-        )
-        for p in band_coeffs
-    )
-    coeffs_T = tuple(
-        jnp.asarray(
-            np.stack([plane_tiles_T(p[i]) for i in range(T - 1)]), jnp.bfloat16
-        )
-        for p in band_coeffs
-    )
-    ctrl = BCSRMatrixControl(
-        BCSRCubicMatrixPath(ts, coeffs, coeffs_T, layout)
+    ctrl = bcsr_control_from_edge_snapshots(
+        ts, snapshots, n, block_size=bs, dtype=jnp.bfloat16
     )
     build_s = time.perf_counter() - t0
+    path = ctrl.path
     coeff_bytes = sum(
-        int(np.prod(p.shape)) * p.dtype.itemsize for p in (*coeffs, *coeffs_T)
+        int(np.prod(p.shape)) * p.dtype.itemsize
+        for p in (*path.coeffs, *path.coeffs_T)
     )
-    print(f"control built in {build_s:.1f}s; coefficient tiles "
-          f"{coeff_bytes/1e9:.2f} GB on device (dense per-interval planes "
-          f"would be {4*(T-1)*n*n*2/1e9:.0f} GB bf16)")
+    print(f"control built from {src.size * T / 1e6:.1f}M edges in "
+          f"{build_s:.1f}s; coefficient tiles {coeff_bytes/1e9:.2f} GB on "
+          f"device (dense per-interval planes would be "
+          f"{4*(T-1)*n*n*2/1e9:.0f} GB bf16)")
 
     vf = PermEquivGraphVectorField(
         input_dim=H, hidden_dim=H, output_dim=H, num_layers=L,
@@ -160,7 +95,7 @@ def main(n=32768, bw=64, bs=128, H=32, L=3, T=3):
         loss, model = step(vf, ctrl)
     loss.block_until_ready()
     dt = (time.perf_counter() - t0) / reps
-    nnz = n * K
+    nnz = src.size
     evals = 4 * 2  # 4 Heun steps x 2 stages
     print(f"train step (4 Heun steps, value_and_grad+update): {dt:.3f} s  "
           f"loss={float(loss):.5f}")

@@ -16,5 +16,6 @@ from .bcsr_paths import (
     BCSRMatrixControl,
     BCSRCubicMatrixPath,
     BCSRLinearMatrixPath,
+    bcsr_control_from_edge_snapshots,
     build_sparse_control,
 )

@@ -342,3 +342,83 @@ def build_sparse_control(
     return SparseMatrixControl.from_stacked(
         interpolation, ts, coeffs, max_degree=max_degree
     )
+
+
+def bcsr_control_from_edge_snapshots(
+    ts,
+    snapshots: tp.Sequence[tp.Tuple[np.ndarray, np.ndarray, tp.Optional[np.ndarray]]],
+    n: int,
+    block_size: int = 128,
+    interpolation: str = "cubic",
+    dtype=None,
+) -> BCSRMatrixControl:
+    """Build a :class:`BCSRMatrixControl` straight from per-knot EDGE LISTS
+    (``snapshots``: one ``(src, dst, weights-or-None)`` triple per knot) --
+    the O(nnz) production input path at scale. No (n, n) object ever exists
+    on host or device:
+
+      * the union block pattern over all knots comes from the O(nnz)
+        touched-block bitmaps (ops.bcsr.bcsr_pattern_from_edges, C++ fast
+        path via native.gncde_bcsr_pattern/scatter);
+      * per-knot tile values are scattered at that shared pattern (and,
+        with src/dst swapped, at the transposed pattern);
+      * interpolation is entrywise, so the Hermite coefficient tiles are
+        computed over the knot axis of the (T, nb, kb, bs, bs) stacks.
+
+    ``dtype`` optionally casts the coefficient tiles (e.g. jnp.bfloat16
+    halves HBM for the two-layout stack).
+    """
+    from ..ops.bcsr import (
+        BCSRLayout,
+        bcsr_diag_slots,
+        bcsr_pattern_from_edges,
+        bcsr_values_from_edges,
+    )
+    from .paths import backward_hermite_coefficients
+
+    ts = jnp.asarray(ts)
+    bs = block_size
+    all_src = np.concatenate([np.asarray(s[0]) for s in snapshots])
+    all_dst = np.concatenate([np.asarray(s[1]) for s in snapshots])
+    block_idx, nblocks, slot_lut = bcsr_pattern_from_edges(
+        all_src, all_dst, n, bs
+    )
+    block_idx_T, nblocks_T, slot_lut_T = bcsr_pattern_from_edges(
+        all_dst, all_src, n, bs
+    )
+    kb = block_idx.shape[1]
+    kb_T = block_idx_T.shape[1]
+    layout = BCSRLayout(
+        jnp.asarray(block_idx), jnp.asarray(nblocks),
+        jnp.asarray(block_idx_T), jnp.asarray(nblocks_T),
+        jnp.asarray(bcsr_diag_slots(block_idx, nblocks)), n, bs,
+    )
+
+    knots = np.stack([
+        bcsr_values_from_edges(s, d, w, n, bs, kb, slot_lut)
+        for (s, d, w) in snapshots
+    ])  # (T, nb, kb, bs, bs)
+    knots_T = np.stack([
+        bcsr_values_from_edges(d, s, w, n, bs, kb_T, slot_lut_T)
+        for (s, d, w) in snapshots
+    ])
+
+    def _cast(x):
+        arr = jnp.asarray(x)
+        return arr.astype(dtype) if dtype is not None else arr
+
+    if interpolation == "linear":
+        return BCSRMatrixControl(
+            BCSRLinearMatrixPath(ts, _cast(knots), _cast(knots_T), layout)
+        )
+    # Entrywise Hermite over the knot axis of the tile stacks.
+    coeffs = tuple(
+        _cast(c) for c in backward_hermite_coefficients(ts, jnp.asarray(knots))
+    )
+    coeffs_T = tuple(
+        _cast(c)
+        for c in backward_hermite_coefficients(ts, jnp.asarray(knots_T))
+    )
+    return BCSRMatrixControl(
+        BCSRCubicMatrixPath(ts, coeffs, coeffs_T, layout)
+    )

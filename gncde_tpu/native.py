@@ -74,6 +74,14 @@ def get_lib() -> tp.Optional[ctypes.CDLL]:
                 P(ctypes.c_float), P(ctypes.c_float), P(ctypes.c_float),
                 P(ctypes.c_float),
             ]
+            lib.gncde_bcsr_pattern.argtypes = [
+                P(ctypes.c_int64), P(ctypes.c_int64), i64, i64, i64,
+                P(ctypes.c_uint8),
+            ]
+            lib.gncde_bcsr_scatter.argtypes = [
+                P(ctypes.c_int64), P(ctypes.c_int64), P(ctypes.c_float),
+                i64, i64, i64, i64, P(ctypes.c_int32), P(ctypes.c_float),
+            ]
             _lib = lib
         except Exception as e:  # noqa: BLE001
             logger.info("native load failed (%s); using numpy fallbacks", e)
@@ -153,3 +161,49 @@ def hermite_coeffs_native(ts: np.ndarray, ys: np.ndarray):
         _ptr(out[2], ctypes.c_float), _ptr(out[3], ctypes.c_float),
     )
     return tuple(o.reshape((T - 1,) + chan_shape) for o in out)
+
+
+def bcsr_pattern_native(
+    src: np.ndarray, dst: np.ndarray, n: int, bs: int
+) -> tp.Optional[np.ndarray]:
+    """Edge list -> (nb, nb) uint8 block-touch bitmap; None without native."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, dtype=np.int64)
+    dst = np.ascontiguousarray(dst, dtype=np.int64)
+    nb = -(-n // bs)
+    mark = np.zeros((nb, nb), dtype=np.uint8)
+    lib.gncde_bcsr_pattern(
+        _ptr(src, ctypes.c_int64), _ptr(dst, ctypes.c_int64), len(src), n,
+        bs, _ptr(mark, ctypes.c_uint8),
+    )
+    return mark
+
+
+def bcsr_scatter_native(
+    src: np.ndarray, dst: np.ndarray, w: tp.Optional[np.ndarray], n: int,
+    bs: int, kb: int, slot_lut: np.ndarray,
+) -> tp.Optional[np.ndarray]:
+    """Edge list -> (nb, kb, bs, bs) tile values at a fixed blocked pattern
+    (slot_lut: (nb, nb) int32, -1 marks unstored blocks); None without
+    native."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, dtype=np.int64)
+    dst = np.ascontiguousarray(dst, dtype=np.int64)
+    wf = (
+        np.ascontiguousarray(w, dtype=np.float32)
+        if w is not None
+        else np.ones(len(src), dtype=np.float32)
+    )
+    nb = -(-n // bs)
+    slot_lut = np.ascontiguousarray(slot_lut, dtype=np.int32)
+    blocks = np.zeros((nb, kb, bs, bs), dtype=np.float32)
+    lib.gncde_bcsr_scatter(
+        _ptr(src, ctypes.c_int64), _ptr(dst, ctypes.c_int64),
+        _ptr(wf, ctypes.c_float), len(src), n, bs, kb,
+        _ptr(slot_lut, ctypes.c_int32), _ptr(blocks, ctypes.c_float),
+    )
+    return blocks

@@ -77,4 +77,35 @@ void gncde_hermite_coeffs(const double* ts, const float* ys,
   }
 }
 
+// Edge list -> blocked-ELL (BCSR) pattern bitmap: mark[rb * nb + cb] = 1
+// for every touched (row-block, col-block). nb = ceil(n / bs).
+void gncde_bcsr_pattern(const int64_t* src, const int64_t* dst, int64_t nnz,
+                        int64_t n, int64_t bs, uint8_t* mark) {
+  int64_t nb = (n + bs - 1) / bs;
+  for (int64_t e = 0; e < nnz; ++e) {
+    int64_t r = src[e], c = dst[e];
+    if (r < 0 || r >= n || c < 0 || c >= n) continue;
+    mark[(r / bs) * nb + (c / bs)] = 1;
+  }
+}
+
+// Edge list -> BCSR tile values at a fixed pattern. slot_lut[rb * nb + cb]
+// holds the slot index of col-block cb in row-block rb (or -1 when the
+// block is not stored). blocks must be zero-initialised,
+// shape (nb, kb, bs, bs) row-major; duplicate edges accumulate.
+void gncde_bcsr_scatter(const int64_t* src, const int64_t* dst,
+                        const float* w, int64_t nnz, int64_t n, int64_t bs,
+                        int64_t kb, const int32_t* slot_lut, float* blocks) {
+  int64_t nb = (n + bs - 1) / bs;
+  for (int64_t e = 0; e < nnz; ++e) {
+    int64_t r = src[e], c = dst[e];
+    if (r < 0 || r >= n || c < 0 || c >= n) continue;
+    int64_t rb = r / bs, cb = c / bs;
+    int32_t s = slot_lut[rb * nb + cb];
+    if (s < 0) continue;
+    blocks[((rb * kb + s) * bs + (r - rb * bs)) * bs + (c - cb * bs)] +=
+        w ? w[e] : 1.0f;
+  }
+}
+
 }  // extern "C"

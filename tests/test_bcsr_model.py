@@ -283,3 +283,86 @@ def test_auto_routing_static_banded_graph():
     ctrl = build_sparse_control("cubic", ts, coeffs, sparse_format="auto",
                                 block_size=128)
     assert isinstance(ctrl, BC), type(ctrl)
+
+
+def _random_edges(n, nnz, seed):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, nnz)
+    dst = rng.integers(0, n, nnz)
+    w = rng.uniform(0.1, 1.0, nnz).astype(np.float32)
+    return src, dst, w
+
+
+def test_bcsr_from_edges_matches_dense_route():
+    """O(nnz) edge-list construction (C++ fast path) == bcsr_from_dense of
+    the accumulated dense adjacency, both layouts and counts."""
+    n, bs = 100, 16
+    src, dst, w = _random_edges(n, 400, seed=0)
+    dense = np.zeros((n, n), np.float32)
+    np.add.at(dense, (src, dst), w)
+
+    got = B.bcsr_from_edges(src, dst, w, n, block_size=bs)
+    ref = B.bcsr_from_dense(dense, block_size=bs)
+    np.testing.assert_array_equal(np.asarray(got.block_idx),
+                                  np.asarray(ref.block_idx))
+    np.testing.assert_array_equal(np.asarray(got.nblocks),
+                                  np.asarray(ref.nblocks))
+    np.testing.assert_allclose(np.asarray(B.bcsr_to_dense(got)), dense,
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_bcsr_from_edges_numpy_fallback_matches_native(monkeypatch):
+    """The numpy fallbacks compute exactly what the C++ kernels compute."""
+    from gncde_tpu import native
+
+    n, bs = 70, 16
+    src, dst, w = _random_edges(n, 300, seed=1)
+    got_native = B.bcsr_from_edges(src, dst, w, n, block_size=bs)
+    monkeypatch.setattr(native, "bcsr_pattern_native",
+                        lambda *a, **k: None)
+    monkeypatch.setattr(native, "bcsr_scatter_native",
+                        lambda *a, **k: None)
+    got_np = B.bcsr_from_edges(src, dst, w, n, block_size=bs)
+    np.testing.assert_array_equal(np.asarray(got_native.block_idx),
+                                  np.asarray(got_np.block_idx))
+    np.testing.assert_allclose(np.asarray(got_native.blocks),
+                               np.asarray(got_np.blocks),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_bcsr_control_from_edge_snapshots_matches_dense_route():
+    """The O(nnz) edge-snapshot control == from_knots of the accumulated
+    dense knots (cubic AND linear), at every queried t -- including knots
+    whose edge sets differ (union pattern)."""
+    from gncde_tpu.interp import bcsr_control_from_edge_snapshots
+
+    n, bs, T = 60, 16, 4
+    snaps, dense_knots = [], []
+    for t in range(T):
+        src, dst, w = _random_edges(n, 150 + 40 * t, seed=10 + t)
+        snaps.append((src, dst, w))
+        d = np.zeros((n, n), np.float32)
+        np.add.at(d, (src, dst), w)
+        dense_knots.append(d)
+    ts = jnp.linspace(0.0, 1.0, T)
+    for interp in ("cubic", "linear"):
+        got = bcsr_control_from_edge_snapshots(
+            ts, snaps, n, block_size=bs, interpolation=interp
+        )
+        ref = BCSRMatrixControl.from_knots(
+            ts, jnp.asarray(np.stack(dense_knots)), interp, block_size=bs
+        )
+        for t in (0.15, 0.6, 0.95):
+            a = B.bcsr_to_dense(
+                B.BCSR(got.path.layout.block_idx, got.adj(t).blocks, n)
+            )
+            b = B.bcsr_to_dense(
+                B.BCSR(ref.path.layout.block_idx, ref.adj(t).blocks, n)
+            )
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+            aT = B.bcsr_to_dense(
+                B.BCSR(got.path.layout.block_idx_T, got.adj(t).blocks_T, n)
+            )
+            np.testing.assert_allclose(np.asarray(aT), np.asarray(a).T,
+                                       rtol=1e-4, atol=1e-5)
