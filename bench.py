@@ -277,8 +277,9 @@ def tiled_regime_train(n=1505, B=2, directed=True, max_steps=64):
     value_and_grad step through the adaptive solve at the tgbn-genre graph
     size (n=1505, directed 11-term basis, reference
     configs/tgb/genre/st_gncde_config.yaml:30-35) -- the backward here is
-    the tiled fused VJP (ops/pallas/tiled.py: dM via the swapped-weight
-    kernel sweep, dw via _dw2_call) + XLA for norm/linear/rank-1 terms.
+    the tiled fused VJP (ops/pallas/tiled.py: ONE merged plane sweep per
+    layer producing dM + the c_row/c_col cotangents, _bwd2_call) + XLA for
+    norm/linear/rank-1 terms.
     Returns (fwd_solve_s, grad_step_s) so the fwd/bwd split is published.
     """
     from gncde_tpu.models.vector_fields import (

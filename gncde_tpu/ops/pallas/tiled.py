@@ -394,6 +394,121 @@ def _dw2_kernel(n, TM, TK, ragged, g_i_ref, m_k_ref, m_i_ref, g_k_ref,
         dw_ref[0, 2 + j] += jnp.sum(plane * Q)
 
 
+def _bwd2_kernel(n, TM, TK, ragged, cvec_ref, A_ref, dA_ref,
+                 g_i_ref, g_k_ref, m_i_ref, m_k_ref,
+                 row_ref, col_ref, dw_ref):
+    """Merged training backward: dM AND the 4 plane-weight cotangents in ONE
+    plane sweep.
+
+    Per tile, four MXU products on the SAME (bf16) plane tiles --
+    ``AG = A @ g_k``, ``dAG = dA @ g_k``, ``ATG = A^T @ g_i``,
+    ``dATG = dA^T @ g_i`` -- then everything downstream is (tile, H)-sized:
+
+        dM row part = c_col . (AG, dAG)          (out = B(c_row) M + B(c_col)^T M
+        dM col part = c_row . (ATG, dATG)         => dM = B(c_row)^T g + B(c_col) g)
+        dw[0:2] = <A|dA, G M^T> = sum((ATG|dATG) * m_k)
+        dw[2:4] = <A|dA, M G^T> = sum((AG|dAG) * m_i)
+
+    vs the split path (_fwd2_call swapped + _dw2_call): half the HBM plane
+    traffic (one sweep instead of two) and no plane-sized VPU intermediates
+    (the split _dw2 materialises (TM, TK) f32 ``G M^T``/``M G^T`` tiles).
+    """
+    ii = pl.program_id(0)
+    kk = pl.program_id(1)
+
+    A = A_ref[:]
+    dA = dA_ref[:]
+    if ragged:
+        # g/M padded rows are exact zeros, but plane overhang may be
+        # non-finite garbage: mask once, every product below is then exact.
+        rows_ok = (jax.lax.broadcasted_iota(jnp.int32, (TM, TK), 0)
+                   + ii * TM) < n
+        cols_ok = (jax.lax.broadcasted_iota(jnp.int32, (TM, TK), 1)
+                   + kk * TK) < n
+        valid = rows_ok & cols_ok
+        A = jnp.where(valid, A, 0)
+        dA = jnp.where(valid, dA, 0)
+
+    g_k = g_k_ref[:]
+    g_i = g_i_ref[:]
+    AG = jnp.dot(A, g_k, preferred_element_type=jnp.float32)      # (TM, H)
+    dAG = jnp.dot(dA, g_k, preferred_element_type=jnp.float32)
+    tdims = (((0,), (0,)), ((), ()))
+    ATG = jax.lax.dot_general(A, g_i, dimension_numbers=tdims,
+                              preferred_element_type=jnp.float32)  # (TK, H)
+    dATG = jax.lax.dot_general(dA, g_i, dimension_numbers=tdims,
+                               preferred_element_type=jnp.float32)
+
+    @pl.when((ii == 0) & (kk == 0))
+    def _():
+        for j in range(4):  # scalar-wise: see _dw_kernel
+            dw_ref[0, j] = 0.0
+
+    m_k = m_k_ref[:].astype(jnp.float32)
+    m_i = m_i_ref[:].astype(jnp.float32)
+    dw_ref[0, 0] += jnp.sum(ATG * m_k)
+    dw_ref[0, 1] += jnp.sum(dATG * m_k)
+    dw_ref[0, 2] += jnp.sum(AG * m_i)
+    dw_ref[0, 3] += jnp.sum(dAG * m_i)
+
+    @pl.when(kk == 0)
+    def _():
+        row_ref[:] = jnp.zeros_like(row_ref)
+
+    row_ref[:] += cvec_ref[0, 0] * AG + cvec_ref[0, 1] * dAG
+
+    @pl.when((ii == 0) & (kk == 0))
+    def _():
+        col_ref[:] = jnp.zeros_like(col_ref)
+
+    col_ref[pl.ds(pl.multiple_of(kk * TK, TK), TK), :] += (
+        cvec_ref[0, 2] * ATG + cvec_ref[0, 3] * dATG)
+
+
+def _bwd2_call(A, dA, cvec, G, M, *, tile, interpret):
+    """One-sweep backward over (A, dA): returns (dM rowpart, dM colpart, dw4).
+
+    ``cvec`` = (1, 4) f32 ``[c_col0, c_col1, c_row0, c_row1]`` (the dM
+    operator is the forward with the row/col pairs swapped); ``G``/``M`` are
+    zero-padded (NP, H) bf16.
+    """
+    n = A.shape[0]
+    NP, H = M.shape
+    TM = TK = tile
+    I, K = _cdiv(n, TM), _cdiv(n, TK)
+    if NP != I * TM:
+        raise ValueError(
+            f"M rows {NP} != padded n {I * TM} (n={n}, tile={tile})")
+    ragged = (n % tile) != 0
+    kern = functools.partial(_bwd2_kernel, n, TM, TK, ragged)
+    plane_spec = pl.BlockSpec((TM, TK), lambda i, k: (i, k),
+                              memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(I, K),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # cvec (1, 4)
+            plane_spec, plane_spec,                 # A, dA
+            pl.BlockSpec((TM, H), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TK, H), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, H), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TK, H), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TM, H), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NP, H), lambda i, k: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4), lambda i, k: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NP, H), jnp.float32),
+            jax.ShapeDtypeStruct((NP, H), jnp.float32),
+            jax.ShapeDtypeStruct((1, 4), jnp.float32),
+        ],
+        interpret=interpret,
+    )(cvec, A, dA, G, G, M, M)
+
+
 def _dw2_call(A, dA, G, M, *, tile, interpret):
     n = A.shape[0]
     NP, H = M.shape
@@ -429,7 +544,9 @@ def tiled_fused2(A, dA, slabs, wA, wdA, c_row, c_col, M, tile=DEFAULT_TILE):
     from the Hermite stacks -- a gather-fused read of the 4 coefficient
     planes), so each per-layer sweep reads 2 planes instead of 4 and forms
     B1/B2 with two fused multiply-adds -- less than half the HBM traffic
-    and roughly a third of the VPU work of the 4-plane kernel.
+    and roughly a third of the VPU work of the 4-plane kernel. ``A``/``dA``
+    may be pre-padded to (NP, NP) with explicit zeros (``tiled_vf_eval``
+    does); the kernels then skip per-tile ragged masking entirely.
 
     Gradient contract: ``A``/``dA`` are REDUNDANT CACHE INPUTS -- pass them
     as ``stop_gradient`` of ``wA.(slabs)`` / ``wdA.(slabs)``. The complete
@@ -469,7 +586,12 @@ def _tf2_bwd(tile, res, g):
     Mb = M.astype(jnp.bfloat16)
 
     d_M = d_wA = d_wdA = d_cr = d_cc = d_slabs = None
-    if need_M:
+    # The TRAINING hot path (params perturbed, tau/planes not): ONE merged
+    # plane sweep produces dM and the 4 c_row/c_col cotangents together --
+    # half the HBM traffic of the split dM-kernel + _dw2_call pair.
+    use_merged = (need_M and (need_cr or need_cc)
+                  and not (need_slabs or need_w))
+    if need_M and not use_merged:
         # Transposing the operator swaps the row/col coefficient pairs.
         d_M = tiled_fused2(A, dA, slabs, wA, wdA, c_col, c_row, gb, tile)
     if need_slabs or need_w:
@@ -495,6 +617,14 @@ def _tf2_bwd(tile, res, g):
                 (w_row[j] * GMt + w_col[j] * MGt).astype(slabs[j].dtype)
                 for j in range(4)
             )
+    elif use_merged:
+        cvec = (jnp.concatenate([c_col, c_row]).reshape(1, 4)
+                .astype(jnp.float32))
+        rowp, colp, dw4 = _bwd2_call(A, dA, cvec, gb, Mb,
+                                     tile=tile, interpret=interpret)
+        d_M = rowp + colp
+        d_cr = dw4[0, :2] if need_cr else None
+        d_cc = dw4[0, 2:] if need_cc else None
     elif need_cr or need_cc:
         # Cheaper 2-plane inner products when tau isn't perturbed.
         dw4 = _dw2_call(A, dA, gb, Mb, tile=tile, interpret=interpret)[0]
@@ -635,13 +765,20 @@ def tiled_vf_eval(coeffs, ts, t, Z, vf,
     # stacks, one 2-plane write); every per-layer kernel sweep then reads
     # 2 planes instead of 4. Gradients flow through (slabs, wA, wdA) inside
     # tiled_fused2, so the caches are stop_gradient by contract.
+    #
+    # The planes are ZERO-PADDED to (NP, NP) at ragged n (the pad fuses into
+    # this same materialise write): the per-layer kernels then run with
+    # ragged=False -- no per-tile iota/where masking, which costs plane-sized
+    # VPU work on EVERY tile (measured 1.7x per sweep at n=1505).
+    NP = _cdiv(n, tile) * tile
     df, cf, bf, af = (s.astype(jnp.float32) for s in slabs)
     A_t = ((df * tau + cf) * tau + bf) * tau + af
     dA_t = (3.0 * df * tau + 2.0 * cf) * tau + bf
+    if NP != n:
+        A_t = jnp.zeros((NP, NP), A_t.dtype).at[:n, :n].set(A_t)
+        dA_t = jnp.zeros((NP, NP), dA_t.dtype).at[:n, :n].set(dA_t)
     A_h = jax.lax.stop_gradient(A_t.astype(jnp.bfloat16))
     dA_h = jax.lax.stop_gradient(dA_t.astype(jnp.bfloat16))
-
-    NP = _cdiv(n, tile) * tile
     feats = Z
     L = len(vf.gnn_layers)
     for l, layer in enumerate(vf.gnn_layers):

@@ -101,6 +101,61 @@ def test_abar_apply_gradients_match_xla():
                                    err_msg=name)
 
 
+@pytest.mark.parametrize("n", [64, 70])  # exact and ragged tiling
+def test_merged_backward_matches_oracle(n, monkeypatch):
+    """The training-path backward (params perturbed, tau/planes not) routes
+    through ONE merged plane sweep (_bwd2_call) whose dM / c_row / c_col
+    cotangents match the f32 oracle within bf16-matmul tolerance."""
+    H, tile = 8, 64
+    ts, coeffs = _coeffs(n, seed=11)
+    t = jnp.float32(0.5)
+    idx, tau = tiled._interval(ts, t)
+    slabs = tuple(p[idx] for p in coeffs)
+    wA, wdA = tiled.hermite_weights(tau)
+    NP = tiled._cdiv(n, tile) * tile
+    M = jnp.zeros((NP, H)).at[:n].set(jr.normal(jr.PRNGKey(9), (n, H)))
+    Af, dAf = _eval_AdA(coeffs, ts, t)
+    A_h = jax.lax.stop_gradient(Af.astype(jnp.bfloat16))
+    dA_h = jax.lax.stop_gradient(dAf.astype(jnp.bfloat16))
+    c_row = jnp.array([1.3, 0.4])
+    c_col = jnp.array([-0.2, 0.7])
+
+    calls = {"merged": 0}
+    orig = tiled._bwd2_call
+
+    def counting(*a, **k):
+        calls["merged"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(tiled, "_bwd2_call", counting)
+
+    def loss(cr, cc, Mp):
+        return jnp.sum(
+            tiled.tiled_fused2(A_h, dA_h, slabs, wA, wdA, cr, cc, Mp, tile)
+            ** 2)
+
+    g_cr, g_cc, g_M = jax.grad(loss, argnums=(0, 1, 2))(c_row, c_col, M)
+    assert calls["merged"] == 1  # the split kernels were NOT used
+
+    out = tiled.tiled_fused2(A_h, dA_h, slabs, wA, wdA, c_row, c_col, M, tile)
+    g_out = 2.0 * out
+    B1 = c_row[0] * Af + c_row[1] * dAf
+    B2 = c_col[0] * Af + c_col[1] * dAf
+    o_M = jnp.zeros_like(M).at[:n].set(B1.T @ g_out[:n] + B2 @ g_out[:n])
+    o_cr = jnp.stack([jnp.sum(Af * (g_out[:n] @ M[:n].T)),
+                      jnp.sum(dAf * (g_out[:n] @ M[:n].T))])
+    o_cc = jnp.stack([jnp.sum(Af * (M[:n] @ g_out[:n].T)),
+                      jnp.sum(dAf * (M[:n] @ g_out[:n].T))])
+    scale = float(jnp.max(jnp.abs(o_M))) + 1e-9
+    np.testing.assert_allclose(np.asarray(g_M) / scale,
+                               np.asarray(o_M) / scale, atol=2e-2)
+    np.testing.assert_array_equal(np.asarray(g_M[n:]), 0.0)
+    for got, want in ((g_cr, o_cr), (g_cc, o_cc)):
+        denom = float(jnp.max(jnp.abs(want))) + 1e-9
+        np.testing.assert_allclose(np.asarray(got) / denom,
+                                   np.asarray(want) / denom, atol=2e-2)
+
+
 def _vf_setup(n, H=8, L=2, directed=False, seed=0):
     ts, coeffs = _coeffs(n, seed=seed)
     cls = PermEquivDirGraphVectorField if directed else PermEquivGraphVectorField
