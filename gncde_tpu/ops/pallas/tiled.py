@@ -509,6 +509,234 @@ def _bwd2_call(A, dA, cvec, G, M, *, tile, interpret):
     )(cvec, A, dA, G, G, M, M)
 
 
+# ---------------------------------------------------------------------------
+# Rectangular two-plane pair primitive (differentiable planes)
+# ---------------------------------------------------------------------------
+#
+# Serves (a) the node-sharded multi-device path (parallel/sharded_ops.py
+# backend="pallas": each device's local compute on its (n_loc, n) row slab)
+# and (b) the enc_idx modulated path (square planes that ARE functions of
+# trainable MLP/embedding parameters, so plane cotangents must flow). Unlike
+# :func:`tiled_fused2`, A/dA here are genuine differentiable inputs.
+
+
+def _pair_kernel(nr, nc, TM, TK, ragged,
+                 cvec_ref, A_ref, dA_ref, mk_ref, mi_ref, row_ref, col_ref):
+    """rowpart[i] += B1[i,k] @ mk[k]; colpart[k] += B2[i,k]^T @ mi[i] with
+    B1 = c0 A + c1 dA, B2 = c2 A + c3 dA, over a rectangular (I, K) grid."""
+    ii = pl.program_id(0)
+    kk = pl.program_id(1)
+
+    A = A_ref[:]
+    dA = dA_ref[:]
+    cr0 = cvec_ref[0, 0].astype(A.dtype)
+    cr1 = cvec_ref[0, 1].astype(A.dtype)
+    cc0 = cvec_ref[0, 2].astype(A.dtype)
+    cc1 = cvec_ref[0, 3].astype(A.dtype)
+    B1 = cr0 * A + cr1 * dA
+    B2 = cc0 * A + cc1 * dA
+    if ragged:
+        rows_ok = (jax.lax.broadcasted_iota(jnp.int32, (TM, TK), 0)
+                   + ii * TM) < nr
+        cols_ok = (jax.lax.broadcasted_iota(jnp.int32, (TM, TK), 1)
+                   + kk * TK) < nc
+        valid = rows_ok & cols_ok
+        B1 = jnp.where(valid, B1, 0)
+        B2 = jnp.where(valid, B2, 0)
+
+    @pl.when(kk == 0)
+    def _():
+        row_ref[:] = jnp.zeros_like(row_ref)
+
+    row_ref[:] += jnp.dot(B1, mk_ref[:], preferred_element_type=jnp.float32)
+
+    @pl.when((ii == 0) & (kk == 0))
+    def _():
+        col_ref[:] = jnp.zeros_like(col_ref)
+
+    colc = jax.lax.dot_general(
+        B2, mi_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    col_ref[pl.ds(pl.multiple_of(kk * TK, TK), TK), :] += colc
+
+
+def _pair_call(A, dA, cvec, Mk, Mi, *, nr, nc, tile, interpret):
+    """Rectangular pair sweep. A/dA: (ra, ca) planes with logical extent
+    (nr, nc) (overhang masked in-kernel when nr/nc aren't tile multiples --
+    pass zero-padded planes with nr/nc = padded sizes to skip the masks).
+    Mk: (NPc, H) column-side operand, Mi: (NPr, H) row-side operand, both
+    zero-padded. Returns (rowpart (NPr, H) f32, colpart (NPc, H) f32)."""
+    NPr, H = Mi.shape
+    NPc = Mk.shape[0]
+    TM = TK = tile
+    I, K = _cdiv(nr, TM), _cdiv(nc, TK)
+    if NPr != I * TM or NPc != K * TK:
+        raise ValueError(
+            f"operand rows (Mi {NPr}, Mk {NPc}) != padded extents "
+            f"({I * TM}, {K * TK}) for (nr={nr}, nc={nc}, tile={tile})")
+    ragged = (nr % tile != 0) or (nc % tile != 0)
+    kern = functools.partial(_pair_kernel, nr, nc, TM, TK, ragged)
+    plane_spec = pl.BlockSpec((TM, TK), lambda i, k: (i, k),
+                              memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(I, K),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # cvec (1, 4)
+            plane_spec, plane_spec,                 # A, dA
+            pl.BlockSpec((TK, H), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, H), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TM, H), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NPc, H), lambda i, k: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NPr, H), jnp.float32),
+            jax.ShapeDtypeStruct((NPc, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(cvec, A, dA, Mk, Mi)
+
+
+def _pair_dw_kernel(nr, nc, TM, TK, ragged,
+                    gr_ref, mk_ref, mi_ref, gc_ref, A_ref, dA_ref, dw_ref):
+    """dw[0:2] = <A|dA, g_r Mk^T>, dw[2:4] = <A|dA, Mi g_c^T> (rect)."""
+    ii = pl.program_id(0)
+    kk = pl.program_id(1)
+
+    @pl.when((ii == 0) & (kk == 0))
+    def _():
+        for j in range(4):  # scalar-wise: see _dw_kernel
+            dw_ref[0, j] = 0.0
+
+    P = jnp.dot(gr_ref[:], mk_ref[:].T, preferred_element_type=jnp.float32)
+    Q = jnp.dot(mi_ref[:], gc_ref[:].T, preferred_element_type=jnp.float32)
+    if ragged:
+        rows_ok = (jax.lax.broadcasted_iota(jnp.int32, (TM, TK), 0)
+                   + ii * TM) < nr
+        cols_ok = (jax.lax.broadcasted_iota(jnp.int32, (TM, TK), 1)
+                   + kk * TK) < nc
+        valid = rows_ok & cols_ok
+    for j, ref in enumerate((A_ref, dA_ref)):
+        plane = ref[:].astype(jnp.float32)
+        if ragged:
+            plane = jnp.where(valid, plane, 0.0)
+        dw_ref[0, j] += jnp.sum(plane * P)
+        dw_ref[0, 2 + j] += jnp.sum(plane * Q)
+
+
+def _pair_dw_call(A, dA, Gr, Mk, Mi, Gc, *, nr, nc, tile, interpret):
+    NPr, H = Mi.shape
+    NPc = Mk.shape[0]
+    TM = TK = tile
+    I, K = _cdiv(nr, TM), _cdiv(nc, TK)
+    ragged = (nr % tile != 0) or (nc % tile != 0)
+    kern = functools.partial(_pair_dw_kernel, nr, nc, TM, TK, ragged)
+    plane_spec = pl.BlockSpec((TM, TK), lambda i, k: (i, k),
+                              memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(I, K),
+        in_specs=[
+            pl.BlockSpec((TM, H), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TK, H), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, H), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TK, H), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+            plane_spec, plane_spec,
+        ],
+        out_specs=pl.BlockSpec((1, 4), lambda i, k: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 4), jnp.float32),
+        interpret=interpret,
+    )(Gr, Mk, Mi, Gc, A, dA)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def plane_pair_apply(A, dA, c_row, c_col, Mk, Mi, nr, nc, tile):
+    """Differentiable rectangular pair: ``(B1 @ Mk, B2^T @ Mi)`` with
+    ``B1 = c_row . (A, dA)``, ``B2 = c_col . (A, dA)``.
+
+    A/dA: (nr-, nc-extent) planes, ANY float dtype (consumed at their own
+    precision as MXU operands; pass bf16 for speed). Mk: (NPc, H), Mi:
+    (NPr, H), zero-padded, where NP* = ceil(n*/tile)*tile. Unlike
+    :func:`tiled_fused2`, the planes are GENUINE differentiable inputs --
+    their cotangents are rank-H products ``c.(g_r Mk^T, Mi g_c^T)`` computed
+    in XLA (MXU matmuls), statically skipped when unperturbed. Used by the
+    node-sharded Pallas path (rect slabs) and the enc_idx modulated path
+    (square trainable planes). Returns (rowpart (NPr, H), colpart (NPc, H)),
+    both f32.
+    """
+    cvec = jnp.concatenate([c_row, c_col]).reshape(1, 4).astype(jnp.float32)
+    return tuple(_pair_call(
+        A, dA, cvec, Mk, Mi, nr=nr, nc=nc, tile=tile,
+        interpret=_should_interpret()))
+
+
+def _ppa_fwd(A, dA, c_row, c_col, Mk, Mi, nr, nc, tile):
+    needs = (_perturbed(A) or _perturbed(dA),
+             _perturbed(c_row), _perturbed(c_col),
+             _perturbed(Mk), _perturbed(Mi))
+    A_v, dA_v, cr_v, cc_v, Mk_v, Mi_v = (
+        _unwrap(A), _unwrap(dA), _unwrap(c_row), _unwrap(c_col),
+        _unwrap(Mk), _unwrap(Mi))
+    out = plane_pair_apply(A_v, dA_v, cr_v, cc_v, Mk_v, Mi_v, nr, nc, tile)
+    return out, (A_v, dA_v, cr_v, cc_v, Mk_v, Mi_v, needs)
+
+
+def _ppa_bwd(nr, nc, tile, res, gs):
+    A, dA, c_row, c_col, Mk, Mi, needs = res
+    need_planes, need_cr, need_cc, need_Mk, need_Mi = needs
+    g_r, g_c = gs
+    r_zero = isinstance(g_r, jax.custom_derivatives.SymbolicZero)
+    c_zero = isinstance(g_c, jax.custom_derivatives.SymbolicZero)
+    if r_zero and c_zero:
+        return (None,) * 6
+    interpret = _should_interpret()
+    NPr, H = Mi.shape
+    NPc = Mk.shape[0]
+    g_r = jnp.zeros((NPr, H), jnp.float32) if r_zero else g_r
+    g_c = jnp.zeros((NPc, H), jnp.float32) if c_zero else g_c
+    # Precision follows the caller's plane dtype: bf16 planes (the TPU
+    # production setting) get bf16 cotangent operands; f32 planes keep the
+    # backward exact (the sharded parity gates compare against XLA-f32).
+    mm_dtype = jnp.bfloat16 if A.dtype == jnp.bfloat16 else jnp.float32
+    grb = g_r.astype(mm_dtype)
+    gcb = g_c.astype(mm_dtype)
+
+    d_A = d_dA = d_cr = d_cc = d_Mk = d_Mi = None
+    if need_Mk or need_Mi:
+        # d_Mi = B2 @ g_c (rowpart-style, pair c_col);
+        # d_Mk = B1^T @ g_r (colpart-style, pair c_row): one fused sweep.
+        cvec = jnp.concatenate([c_col, c_row]).reshape(1, 4).astype(
+            jnp.float32)
+        d_Mi_v, d_Mk_v = _pair_call(
+            A, dA, cvec, gcb, grb, nr=nr, nc=nc, tile=tile,
+            interpret=interpret)
+        d_Mk = d_Mk_v if need_Mk else None
+        d_Mi = d_Mi_v if need_Mi else None
+    if need_cr or need_cc:
+        dw = _pair_dw_call(
+            A, dA, grb, Mk.astype(mm_dtype), Mi.astype(mm_dtype),
+            gcb, nr=nr, nc=nc, tile=tile, interpret=interpret)[0]
+        d_cr = dw[:2] if need_cr else None
+        d_cc = dw[2:] if need_cc else None
+    if need_planes:
+        # Rank-H plane cotangents (exact: padded rows of g/Mk/Mi are zero).
+        GMt = g_r @ Mk.T.astype(jnp.float32)     # (NPr, NPc)
+        MGt = Mi.astype(jnp.float32) @ g_c.T     # (NPr, NPc)
+        ra, ca = A.shape
+        GMt = GMt[:ra, :ca]
+        MGt = MGt[:ra, :ca]
+        d_A = (c_row[0] * GMt + c_col[0] * MGt).astype(A.dtype)
+        d_dA = (c_row[1] * GMt + c_col[1] * MGt).astype(dA.dtype)
+    return d_A, d_dA, d_cr, d_cc, d_Mk, d_Mi
+
+
+plane_pair_apply.defvjp(_ppa_fwd, _ppa_bwd, symbolic_zeros=True)
+
+
 def _dw2_call(A, dA, G, M, *, tile, interpret):
     n = A.shape[0]
     NP, H = M.shape

@@ -41,12 +41,22 @@ def make_sharded_gncde_solve(
     atol: float = 1e-6,
     max_steps: int = 512,
     axis_name: str = "graph",
+    backend: str = "xla",
+    tile: tp.Optional[int] = None,
+    plane_dtype=None,
 ):
     """Build a jitted node-sharded CDE solve.
 
     Returns ``f(ts, coeffs_slim, y0) -> ys`` where coeffs_slim is the slim
     (value-channel) coefficient tuple, each (T-1, n, n), y0 is (n, H), and
     ys is (T, n, H) -- all carried with row-sharded layouts over ``mesh``.
+
+    ``backend="pallas"`` runs each device's slab products through the tiled
+    Pallas pair kernel (sharded_ops._pallas_slab_pair) -- the multi-chip
+    path that keeps the single-chip kernel surface. ``plane_dtype``
+    (e.g. jnp.bfloat16) casts the interpolated A/dA slabs before the kernel:
+    the TPU production setting (MXU-native; matches the single-chip tiled
+    path's precision policy); leave None for f32 parity testing.
     """
 
     def local_solve(ts, coeffs_loc, y0_loc):
@@ -58,7 +68,11 @@ def make_sharded_gncde_solve(
         def vf_sharded(t, y_loc, args):
             A_loc = ctrl.evaluate(t)  # (n_loc, n): local rows only
             dA_loc = ctrl.derivative(t)
-            return sharded_vf_stack(vf, y_loc, A_loc, dA_loc, axis_name)
+            if plane_dtype is not None:
+                A_loc = A_loc.astype(plane_dtype)
+                dA_loc = dA_loc.astype(plane_dtype)
+            return sharded_vf_stack(vf, y_loc, A_loc, dA_loc, axis_name,
+                                    backend=backend, tile=tile)
 
         sol = diffeqsolve(
             ODETerm(vf_sharded),
@@ -86,6 +100,92 @@ def make_sharded_gncde_solve(
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+def make_sharded_gncde_loss(
+    mesh: Mesh,
+    vf,
+    interpolation: str = "cubic",
+    rtol: float = 1e-3,
+    atol: float = 1e-6,
+    max_steps: int = 512,
+    axis_name: str = "graph",
+    backend: str = "xla",
+    tile: tp.Optional[int] = None,
+    plane_dtype=None,
+    stepsize_controller=None,
+    dt0: tp.Optional[float] = None,
+):
+    """Differentiable node-sharded DENSE CDE training loss.
+
+    The dense counterpart of :func:`make_sharded_sparse_gncde_loss`, with a
+    ``backend`` knob: ``"pallas"`` keeps every per-shard heavy product on the
+    tiled Pallas pair kernel through BOTH the forward solve and the adjoint
+    replay (the kernel's custom VJP re-enters the same kernel family), so
+    multi-chip training no longer forfeits the single-chip kernel advantage
+    (VERDICT r4 item 1). Gradients flow through the
+    all_gather/psum_scatter/psum collectives via shard_map's transposes.
+
+    Returns ``(loss_fn, params0)``: ``loss_fn(params, ts, coeffs, y0,
+    labels) -> scalar`` (labels: (T, n, H)), to be jitted over ``mesh``.
+    """
+    from ..nn import combine, is_inexact_array, partition
+
+    if stepsize_controller is None:
+        stepsize_controller = PIDController(rtol, atol, axis_name=axis_name)
+
+    params0, static = partition(vf, is_inexact_array)
+
+    def local_loss(params, ts, coeffs_loc, y0_loc, labels_loc):
+        vf_p = combine(params, static)
+        if interpolation == "cubic":
+            ctrl = CubicInterpolation(ts, coeffs_loc)
+        else:
+            ctrl = LinearInterpolation(ts, coeffs_loc)
+
+        def vf_sharded(t, y_loc, args):
+            A_loc = ctrl.evaluate(t)
+            dA_loc = ctrl.derivative(t)
+            if plane_dtype is not None:
+                A_loc = A_loc.astype(plane_dtype)
+                dA_loc = dA_loc.astype(plane_dtype)
+            return sharded_vf_stack(vf_p, y_loc, A_loc, dA_loc, axis_name,
+                                    backend=backend, tile=tile)
+
+        sol = diffeqsolve(
+            ODETerm(vf_sharded),
+            "tsit5",
+            t0=ts[0],
+            t1=ts[-1],
+            dt0=dt0,
+            y0=y0_loc,
+            stepsize_controller=stepsize_controller,
+            saveat=SaveAt(ts=ts),
+            max_steps=max_steps,
+        )
+        err = (sol.ys - labels_loc) ** 2
+        # Equal slabs, so the pmean of per-shard means is the global mean.
+        return jax.lax.pmean(jnp.mean(err), axis_name)
+
+    if interpolation == "cubic":
+        coeff_specs = tuple(P(None, axis_name, None) for _ in range(4))
+    else:
+        coeff_specs = P(None, axis_name, None)
+
+    sharded = shard_map(
+        local_loss,
+        mesh=mesh,
+        in_specs=(
+            P(),
+            P(None),
+            coeff_specs,
+            P(axis_name, None),
+            P(None, axis_name, None),
+        ),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return sharded, params0
 
 
 def make_sharded_sparse_gncde_solve(
