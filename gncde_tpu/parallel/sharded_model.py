@@ -44,6 +44,7 @@ def make_sharded_gncde_solve(
     backend: str = "xla",
     tile: tp.Optional[int] = None,
     plane_dtype=None,
+    halo: tp.Optional[int] = None,
 ):
     """Build a jitted node-sharded CDE solve.
 
@@ -72,7 +73,7 @@ def make_sharded_gncde_solve(
                 A_loc = A_loc.astype(plane_dtype)
                 dA_loc = dA_loc.astype(plane_dtype)
             return sharded_vf_stack(vf, y_loc, A_loc, dA_loc, axis_name,
-                                    backend=backend, tile=tile)
+                                    backend=backend, tile=tile, halo=halo)
 
         sol = diffeqsolve(
             ODETerm(vf_sharded),
@@ -113,6 +114,7 @@ def make_sharded_gncde_loss(
     backend: str = "xla",
     tile: tp.Optional[int] = None,
     plane_dtype=None,
+    halo: tp.Optional[int] = None,
     stepsize_controller=None,
     dt0: tp.Optional[float] = None,
 ):
@@ -150,7 +152,7 @@ def make_sharded_gncde_loss(
                 A_loc = A_loc.astype(plane_dtype)
                 dA_loc = dA_loc.astype(plane_dtype)
             return sharded_vf_stack(vf_p, y_loc, A_loc, dA_loc, axis_name,
-                                    backend=backend, tile=tile)
+                                    backend=backend, tile=tile, halo=halo)
 
         sol = diffeqsolve(
             ODETerm(vf_sharded),

@@ -147,6 +147,37 @@ def _pallas_slab_pair(A_loc, dA_loc, c_row, c_col, M_full, M_loc,
     return rowpart[:n_loc], colpart[:n]
 
 
+def dense_halo_width(A: "np.ndarray", num_shards: int) -> int:
+    """Minimal circular halo width for a row-sharded DENSE matrix: smallest
+    ``h`` such that every nonzero column of shard ``i``'s row slab is owned
+    by a shard within circular distance ``h``. Host-side partitioning helper
+    (the dense analogue of :func:`ell_halo_width`); pass ``halo=None`` when
+    ``2*h + 1 >= num_shards`` (the all-gather path is then cheaper)."""
+    A = np.asarray(A)
+    n = A.shape[-1]
+    n_loc = n // num_shards
+    if n_loc * num_shards != n:
+        raise ValueError(f"n={n} must be divisible by num_shards={num_shards}")
+    rows, cols = np.nonzero(np.any(A != 0.0, axis=tuple(range(A.ndim - 2))))
+    if rows.size == 0:
+        return 0
+    d = (cols // n_loc - rows // n_loc + num_shards // 2) % num_shards
+    return int(np.max(np.abs(d - num_shards // 2)))
+
+
+def _halo_window_cols(A_loc, halo: int, axis_name: str, num_shards: int):
+    """Slice a (n_loc, n) dense row slab down to its (n_loc, (2h+1)*n_loc)
+    circular halo window of columns (shard-granular block gather). Contract:
+    every nonzero column lies inside the window (halo >= dense_halo_width);
+    columns outside are DROPPED."""
+    n_loc = A_loc.shape[0]
+    idx = jax.lax.axis_index(axis_name)
+    Wsh = 2 * halo + 1
+    blocks = A_loc.reshape(n_loc, num_shards, n_loc)
+    shard_ids = (idx - halo + jnp.arange(Wsh)) % num_shards
+    return jnp.take(blocks, shard_ids, axis=1).reshape(n_loc, Wsh * n_loc)
+
+
 def sharded_fused_apply(
     A_loc: jax.Array,       # (n_loc, n) row slab of A
     dA_loc: jax.Array,      # (n_loc, n)
@@ -156,6 +187,7 @@ def sharded_fused_apply(
     add_identity: bool = False,
     backend: str = "xla",
     tile: tp.Optional[int] = None,
+    halo: tp.Optional[int] = None,
 ) -> jax.Array:
     """Row-sharded ``A_bar @ M (+ M)`` for the undirected 8-term basis.
 
@@ -168,6 +200,15 @@ def sharded_fused_apply(
     kernel surface (VERDICT r4 item 1). Collectives (all_gather /
     psum_scatter / psums) are identical in both modes; pass bf16
     ``A_loc``/``dA_loc``/``M_loc`` for MXU-native speed.
+
+    ``halo=h`` (from :func:`dense_halo_width`) is the banded-graph fast
+    path: the feature exchange switches from all-gather/psum_scatter to
+    ``ppermute`` neighbour rings moving 2h slabs of (n_loc, H) each way, AND
+    the heavy products shrink to the (n_loc, (2h+1)*n_loc) column window --
+    O(halo) comm and compute per shard instead of O(n). Columns outside the
+    window are dropped, so an understated ``h`` silently loses edges: always
+    compute it from the true pattern. Falls back to the all-gather path when
+    the window spans the mesh axis.
     """
     p1, p2, p3, p4, p5, p6, p7, p8 = params
     n = A_loc.shape[1]
@@ -203,19 +244,37 @@ def sharded_fused_apply(
     w = _psum(v_loc @ M_loc, axis_name)           # (H,)
 
     # ---- halo exchange + dense pair ---------------------------------------
-    M_full = jax.lax.all_gather(M_loc, axis_name, tiled=True)  # (n, H)
-    if backend == "pallas":
-        rowpart, partial = _pallas_slab_pair(
-            A_loc, dA_loc, 1.0 + p1, p2, M_full, M_loc, tile=tile)
+    use_halo = halo is not None and 2 * halo + 1 < num_shards
+    if use_halo:
+        A_win = _halo_window_cols(A_loc, halo, axis_name, num_shards)
+        dA_win = _halo_window_cols(dA_loc, halo, axis_name, num_shards)
+        M_window = _halo_ring_gather(M_loc, halo, axis_name, num_shards)
+        if backend == "pallas":
+            rowpart, partial_win = _pallas_slab_pair(
+                A_win, dA_win, 1.0 + p1, p2, M_window, M_loc, tile=tile)
+        else:
+            B1_win = (1.0 + p1[0]) * A_win + (1.0 + p1[1]) * dA_win
+            rowpart = B1_win @ M_window  # (n_loc, H)
+            B2_win = p2[0] * A_win + p2[1] * dA_win
+            partial_win = B2_win.T @ M_loc  # (W, H)
+        colpart = _halo_ring_scatter(
+            partial_win, halo, axis_name, num_shards, n_loc)
+        M_rows = M_loc
     else:
-        B1_loc = (1.0 + p1[0]) * A_loc + (1.0 + p1[1]) * dA_loc
-        rowpart = B1_loc @ M_full  # (n_loc, H)
+        M_full = jax.lax.all_gather(M_loc, axis_name, tiled=True)  # (n, H)
+        if backend == "pallas":
+            rowpart, partial = _pallas_slab_pair(
+                A_loc, dA_loc, 1.0 + p1, p2, M_full, M_loc, tile=tile)
+        else:
+            B1_loc = (1.0 + p1[0]) * A_loc + (1.0 + p1[1]) * dA_loc
+            rowpart = B1_loc @ M_full  # (n_loc, H)
 
-        B2_loc = p2[0] * A_loc + p2[1] * dA_loc
-        partial = B2_loc.T @ M_loc  # (n, H) partial of the transpose product
-    colpart = jax.lax.psum_scatter(
-        partial, axis_name, scatter_dimension=0, tiled=True
-    )  # (n_loc, H) rows for this shard
+            B2_loc = p2[0] * A_loc + p2[1] * dA_loc
+            partial = B2_loc.T @ M_loc  # (n, H) partial of transpose product
+        colpart = jax.lax.psum_scatter(
+            partial, axis_name, scatter_dimension=0, tiled=True
+        )  # (n_loc, H) rows for this shard
+        M_rows = jax.lax.dynamic_slice_in_dim(M_full, col0, n_loc, axis=0)
 
     # ---- rank-structured corrections --------------------------------------
     dvec_loc = (
@@ -229,7 +288,6 @@ def sharded_fused_apply(
     u_loc = (p4[0] * rA_loc + p4[1] * rdA_loc) / n
     c7 = (p7[0] + p7[1]) * sA / n**2  # reference term_7 quirk: sum(A) twice
 
-    M_rows = jax.lax.dynamic_slice_in_dim(M_full, col0, n_loc, axis=0)
     return (
         rowpart
         + colpart
@@ -407,31 +465,32 @@ def sharded_sparse_fused_apply(
 
 
 def sharded_equiv_conv(layer, Z_loc, A_loc, dA_loc, axis_name="graph",
-                       backend="xla", tile=None):
+                       backend="xla", tile=None, halo=None):
     """Row-sharded ConvEquivFusionLayer forward: transform locally, then
     sharded fused matvec with the residual identity folded in."""
     M_loc = layer.conv_layer.transform(Z_loc)
     return sharded_fused_apply(
         A_loc, dA_loc, M_loc, layer.params, axis_name=axis_name,
-        add_identity=True, backend=backend, tile=tile,
+        add_identity=True, backend=backend, tile=tile, halo=halo,
     )
 
 
 def sharded_vf_stack(vf, Z_loc, A_loc, dA_loc, axis_name="graph",
-                     backend="xla", tile=None):
+                     backend="xla", tile=None, halo=None):
     """Row-sharded PermEquivGraphVectorField layer stack (no time scaling --
     slim-control semantics with unit time gradient)."""
     feats = Z_loc
     for i, layer in enumerate(vf.gnn_layers):
         feats = sharded_equiv_conv(layer, feats, A_loc, dA_loc, axis_name,
-                                   backend=backend, tile=tile)
+                                   backend=backend, tile=tile, halo=halo)
         if i < len(vf.gnn_layers) - 1:
             feats = jax.nn.relu(feats)
     return feats
 
 
 def make_sharded_vf_eval(mesh: Mesh, vf, axis_name: str = "graph",
-                         backend: str = "xla", tile: tp.Optional[int] = None):
+                         backend: str = "xla", tile: tp.Optional[int] = None,
+                         halo: tp.Optional[int] = None):
     """Build a jitted node-sharded vf-stack evaluation over ``mesh``.
 
     Returns f(Z, A, dA) operating on FULL arrays carried with node-sharded
@@ -448,7 +507,7 @@ def make_sharded_vf_eval(mesh: Mesh, vf, axis_name: str = "graph",
 
     def local(Z_loc, A_loc, dA_loc):
         return sharded_vf_stack(vf, Z_loc, A_loc, dA_loc, axis_name,
-                                backend=backend, tile=tile)
+                                backend=backend, tile=tile, halo=halo)
 
     sharded = shard_map(
         local,

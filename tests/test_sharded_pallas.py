@@ -158,6 +158,120 @@ def test_sharded_pallas_vf_stack_matches_dense():
     )
 
 
+def _banded(key, n, width):
+    i = np.arange(n)
+    d = (i[:, None] - i[None, :] + n // 2) % n - n // 2
+    band = np.abs(d) <= width
+    vals = np.asarray(jr.uniform(key, (n, n))) * 0.1
+    return jnp.asarray(np.where(band, vals, 0.0).astype(np.float32))
+
+
+def test_dense_halo_width():
+    from gncde_tpu.parallel.sharded_ops import dense_halo_width
+
+    n, G = 64, 8
+    A = _banded(jr.PRNGKey(0), n, 3)  # band 3 < n_loc 8 -> halo 1
+    assert dense_halo_width(A, G) == 1
+    A9 = _banded(jr.PRNGKey(0), n, 9)  # band crosses one shard -> halo 2
+    assert dense_halo_width(A9, G) == 2
+    assert dense_halo_width(jnp.zeros((n, n)), G) == 0
+
+
+@needs8
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_sharded_dense_halo_matches_dense(backend):
+    """Banded dense slabs: halo-ring exchange + windowed heavy products ==
+    the full dense oracle, on both backends."""
+    from gncde_tpu.parallel.sharded_ops import (
+        dense_halo_width,
+        sharded_fused_apply,
+    )
+
+    n, H, G = 64, 8, 8
+    mesh = make_mesh(G, graph_axis=G)
+    key = jr.PRNGKey(3)
+    ks = jr.split(key, 12)
+    A = _banded(ks[0], n, 3)
+    dA = _banded(ks[1], n, 3)
+    M = jr.normal(ks[2], (n, H))
+    params = tuple(
+        1 / 15 * jr.uniform(k, (2,), minval=-1, maxval=1) for k in ks[3:11]
+    )
+    halo = dense_halo_width(A, G)
+    assert halo == 1
+
+    def local(A_loc, dA_loc, M_loc):
+        return sharded_fused_apply(
+            A_loc, dA_loc, M_loc, params, "graph", True,
+            backend=backend, tile=8, halo=halo,
+        )
+
+    f = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("graph", None), P("graph", None), P("graph", None)),
+        out_specs=P("graph", None),
+        check_vma=False,
+    )
+    got = jax.jit(f)(A, dA, M)
+    ref = fused_apply(A, dA, M, params, add_identity=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4
+    )
+
+
+@needs8
+def test_halo_collective_volume_is_o_halo():
+    """Regression guard on ICI traffic: the banded halo path must move
+    exactly 4*halo ppermute slabs of (n_loc, H) per fused apply (2 gather +
+    2 scatter rings at halo=1) and NO all_gather/reduce_scatter, while the
+    all-gather path's exchange volume scales with n."""
+    from gncde_tpu.parallel.audit import collective_volume, total_bytes
+    from gncde_tpu.parallel.sharded_ops import sharded_fused_apply
+
+    n, H, G = 64, 8, 8
+    n_loc = n // G
+    mesh = make_mesh(G, graph_axis=G)
+    ks = jr.split(jr.PRNGKey(11), 12)
+    A = _banded(ks[0], n, 3)
+    dA = _banded(ks[1], n, 3)
+    M = jr.normal(ks[2], (n, H))
+    params = tuple(jr.uniform(k, (2,)) for k in ks[3:11])
+
+    def run(halo):
+        def local(A_loc, dA_loc, M_loc):
+            return sharded_fused_apply(
+                A_loc, dA_loc, M_loc, params, "graph", True, halo=halo
+            )
+
+        f = shard_map(
+            local, mesh=mesh, in_specs=(P("graph", None),) * 3,
+            out_specs=P("graph", None), check_vma=False,
+        )
+        return collective_volume(f, A, dA, M)
+
+    recs_halo = run(1)
+    recs_full = run(None)
+
+    slab_bytes = n_loc * H * 4
+    perms = [r for r in recs_halo if r.primitive == "ppermute"]
+    assert len(perms) == 4 and all(
+        r.bytes_per_device == slab_bytes for r in perms
+    ), perms
+    assert not any(
+        r.primitive in ("all_gather", "reduce_scatter", "psum_scatter")
+        for r in recs_halo
+    )
+    # Feature-exchange volume (excluding the O(n) scalar/vector psums):
+    # halo path O(halo * n_loc * H); all-gather path's reduce_scatter alone
+    # carries the full (n, H) partial.
+    halo_exchange = total_bytes(recs_halo, {"ppermute"})
+    full_exchange = total_bytes(recs_full, {"all_gather", "reduce_scatter",
+                                            "psum_scatter"})
+    assert halo_exchange == 4 * slab_bytes
+    assert full_exchange >= n * H * 4
+
+
 @needs8
 def test_sharded_pallas_loss_grads_match_xla_backend():
     """Full sharded training loss (adaptive solve + adjoint) with the
