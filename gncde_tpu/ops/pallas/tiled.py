@@ -64,10 +64,18 @@ DEFAULT_TILE = 256
 
 
 def pick_tile(n: int) -> int:
-    """Tile size by problem size: 512 halves the grid-step count and runs
-    ~1.55x faster at n=2048 (measured, v5e: 22.6 vs 35.1 us/layer-call);
-    below n=1024 the padding waste of a 512 tile outweighs it."""
-    return 512 if n >= 1024 else 256
+    """Tile size by problem size. 512 runs ~1.55x faster PER BYTE than 256
+    (measured at n=2048, v5e: 22.6 vs 35.1 us/layer-call -- fewer grid
+    steps), but pads the plane read to a 512-multiple, so the choice
+    minimises (padded n)^2 x per-byte cost. At most sizes >= 1024 the two
+    pad to the same extent and 512 wins (tgbn-genre n=1505: both pad to
+    1536); in the window where a 512 tile adds a whole extra 512-block
+    (e.g. n in 1537..1791: 2048^2 vs 1792^2) 256 wins."""
+    if n < 1024:
+        return 256
+    cost = {t: (_cdiv(n, t) * t) ** 2 * c
+            for t, c in ((256, 1.55), (512, 1.0))}
+    return min(cost, key=cost.get)
 
 # colpart/dM accumulators are VMEM-resident (NP, H) f32; past this the
 # resident buffers stop fitting comfortably next to double-buffered plane
@@ -954,6 +962,94 @@ def _interval(ts, t):
     return idx, t - ts[idx]
 
 
+def _rank_terms(p, directed, n, rA, rdA, cA, cdA, dgA, dgdA, sA, sdA):
+    """O(n) rank-structured tail of the fused basis apply: (dvec, u, v, c7)
+    with the residual identity folded into dvec. Shared by the Hermite-
+    factorised and materialised-plane tiled paths; reproduces the reference
+    term_4'/term_7 quirks (equiv_basis.fused_coeffs[_directed])."""
+    if directed:
+        _, _, p3, p4, p4p, p5, p5p, p6, p6p, p7, p8 = p
+        dvec = (p3[0] * dgA + p3[1] * dgdA
+                + (p6[0] * cA + p6[1] * cdA) / n
+                + (p6p[0] * rA + p6p[1] * rdA) / n
+                + (p8[0] * sA + p8[1] * sdA) / n**2 + 1.0)
+        u = (p4[0] * cA + p4[1] * cdA) / n
+        v = ((p4p[0] * rA + p4p[1] * cdA)   # term_4' quirk, layers.py:288
+             + (p5[0] * cA + p5[1] * cdA)
+             + (p5p[0] * rA + p5p[1] * rdA)) / n
+    else:
+        _, _, p3, p4, p5, p6, p7, p8 = p
+        dvec = (p3[0] * dgA + p3[1] * dgdA
+                + (p6[0] * rA + p6[1] * rdA) / n
+                + (p8[0] * sA + p8[1] * sdA) / n**2 + 1.0)
+        u = (p4[0] * rA + p4[1] * rdA) / n
+        v = (p5[0] * rA + p5[1] * rdA) / n
+    c7 = (p7[0] + p7[1]) * sA / n**2  # quirk: both operands sum(A)
+    return dvec, u, v, c7
+
+
+def tiled_vf_eval_planes(A, dA, Z, vf, tile: tp.Optional[int] = None):
+    """Evaluate a PermEquiv(Dir)GraphVectorField on MATERIALISED (n, n)
+    planes via per-layer Pallas pair sweeps, with the planes as GENUINE
+    differentiable inputs.
+
+    Serves the enc_idx configs (reference
+    perm_equiv_dir_graph_vector_field.py:185-236): the modulated A/dA are
+    functions of trainable MLP/embedding parameters, so the
+    Hermite-factorised :func:`tiled_vf_eval` contract (stop_gradient cache
+    planes) does not apply -- plane cotangents flow through
+    :func:`plane_pair_apply`'s rank-H backward into the modulation chain.
+    Pass bf16 planes for MXU-native speed (the cast is itself
+    differentiable); reductions are computed from the planes in f32.
+    """
+    n = Z.shape[0]
+    if tile is None:
+        tile = pick_tile(n)
+    directed = (
+        type(vf.gnn_layers[0]).__name__ == "ConvEquivFusionDirectedLayer"
+    )
+    NP = _cdiv(n, tile) * tile
+    if A.shape[0] == n and NP != n:
+        Ap = jnp.zeros((NP, NP), A.dtype).at[:n, :n].set(A)
+        dAp = jnp.zeros((NP, NP), dA.dtype).at[:n, :n].set(dA)
+    elif A.shape[0] in (n, NP):
+        # Already padded (e.g. by the fused modulation kernel): rows/cols
+        # >= n are zero by contract, so the padded reductions below are
+        # exact after slicing.
+        Ap, dAp = A, dA
+    else:
+        raise ValueError(
+            f"planes of shape {A.shape} don't match n={n} (padded {NP})")
+    Af = Ap.astype(jnp.float32)
+    dAf = dAp.astype(jnp.float32)
+    rA, rdA = jnp.sum(Af, axis=1)[:n], jnp.sum(dAf, axis=1)[:n]
+    cA, cdA = jnp.sum(Af, axis=0)[:n], jnp.sum(dAf, axis=0)[:n]
+    dgA, dgdA = jnp.diagonal(Af)[:n], jnp.diagonal(dAf)[:n]
+    sA, sdA = jnp.sum(rA), jnp.sum(rdA)
+    feats = Z
+    L = len(vf.gnn_layers)
+    for l, layer in enumerate(vf.gnn_layers):
+        M = layer.conv_layer.transform(feats)  # (n, H)
+        p = layer.params
+        p1, p2 = p[0], p[1]
+        if NP != n:
+            Mp = jnp.zeros((NP, M.shape[1]), M.dtype).at[:n].set(M)
+        else:
+            Mp = M
+        rowp, colp = plane_pair_apply(
+            Ap, dAp, 1.0 + p1, p2, Mp, Mp, NP, NP, tile)
+        heavy = (rowp + colp)[:n]
+        dvec, u, v, c7 = _rank_terms(
+            p, directed, n, rA, rdA, cA, cdA, dgA, dgdA, sA, sdA)
+        s = jnp.sum(M, axis=0)
+        w = v @ M
+        feats = (heavy + dvec[:, None] * M
+                 + u[:, None] * s[None, :] + (w + c7 * s)[None, :])
+        if l < L - 1:
+            feats = jax.nn.relu(feats)
+    return feats
+
+
 def tiled_vf_eval(coeffs, ts, t, Z, vf,
                   red: tp.Optional[PlaneReductions] = None,
                   tile: tp.Optional[int] = None):
@@ -1020,24 +1116,8 @@ def tiled_vf_eval(coeffs, ts, t, Z, vf,
         heavy = tiled_fused2(
             A_h, dA_h, slabs, wA, wdA, 1.0 + p1, p2, Mp, tile
         )[:n]
-        if directed:
-            _, _, p3, p4, p4p, p5, p5p, p6, p6p, p7, p8 = p
-            dvec = (p3[0] * dgA + p3[1] * dgdA
-                    + (p6[0] * cA + p6[1] * cdA) / n
-                    + (p6p[0] * rA + p6p[1] * rdA) / n
-                    + (p8[0] * sA + p8[1] * sdA) / n**2 + 1.0)
-            u = (p4[0] * cA + p4[1] * cdA) / n
-            v = ((p4p[0] * rA + p4p[1] * cdA)   # term_4' quirk, layers.py:288
-                 + (p5[0] * cA + p5[1] * cdA)
-                 + (p5p[0] * rA + p5p[1] * rdA)) / n
-        else:
-            _, _, p3, p4, p5, p6, p7, p8 = p
-            dvec = (p3[0] * dgA + p3[1] * dgdA
-                    + (p6[0] * rA + p6[1] * rdA) / n
-                    + (p8[0] * sA + p8[1] * sdA) / n**2 + 1.0)
-            u = (p4[0] * rA + p4[1] * rdA) / n
-            v = (p5[0] * rA + p5[1] * rdA) / n
-        c7 = (p7[0] + p7[1]) * sA / n**2  # quirk: both operands sum(A)
+        dvec, u, v, c7 = _rank_terms(
+            p, directed, n, rA, rdA, cA, cdA, dgA, dgdA, sA, sdA)
         s = jnp.sum(M, axis=0)
         w = v @ M
         feats = (heavy + dvec[:, None] * M
