@@ -255,6 +255,13 @@ class _WindowedTrainerBase(pydantic.BaseModel):
     sparse_max_degree: tp.Optional[int] = None
     sparse_format: tp.Literal["ell", "bcsr", "auto"] = "ell"
     sparse_block_size: int = 128
+    # Evaluate the freshly built model BEFORE epoch 1 so the initialisation
+    # is a model-selection candidate (best_epoch == -1 means "init won").
+    # Matters for heads whose init encodes a strong baseline -- the
+    # persistence head's beta=0 init IS copy-last (models/tgb.py), and the
+    # reference's select-after-training loop (trainer_tgb.py:261-285) can
+    # otherwise end below its own starting point.
+    eval_at_init: bool = True
 
     model_config = pydantic.ConfigDict(extra="ignore")
     _run_key: tp.Any = pydantic.PrivateAttr(default=None)
@@ -341,6 +348,46 @@ class _WindowedTrainerBase(pydantic.BaseModel):
         final_test_metrics: tp.Dict[str, float] = {}
         patience_counter = 0
 
+        def eval_and_select(model, epoch, train_loss=None):
+            """Shared eval + best-model selection; returns True on improve."""
+            nonlocal best_selection, best_epoch, final_test_metrics
+            nonlocal patience_counter
+            t0 = time.time()
+            val_metrics = self._eval_loader(model, val_loader)
+            val_metrics["validation_step_time"] = time.time() - t0
+            metric_logger.log(val_metrics)
+            logger.info("Epoch: %04d, %s", epoch + 1, val_metrics)
+
+            if len(val_loader) == 0:
+                # No validation windows (tiny split): select on train loss.
+                if train_loss is None:
+                    return False
+                selection = train_loss
+            else:
+                selection = self._selection(val_metrics)
+            if selection < best_selection:
+                patience_counter = 0
+                best_selection = selection
+                best_epoch = epoch
+                if self.checkpoint_dir:
+                    checkpoints.save_weights(
+                        os.path.join(self.checkpoint_dir, f"{config_hash}.npz"),
+                        model,
+                    )
+                    logger.info("Model saved at epoch %d", epoch)
+                final_test_metrics = {
+                    f"test_{k.replace('validation_', '')}": v
+                    for k, v in self._eval_loader(model, test_loader).items()
+                }
+                metric_logger.log(final_test_metrics)
+                return True
+            patience_counter += 1
+            return False
+
+        if self.eval_at_init and len(val_loader) > 0:
+            # The init is a selection candidate (best_epoch -1 == init won).
+            eval_and_select(model, -1)
+
         for epoch in range(self.epochs):
             train_loss, max_grad, max_update = 0.0, 0.0, 0.0
             start_time = time.time()
@@ -369,34 +416,8 @@ class _WindowedTrainerBase(pydantic.BaseModel):
                 )
 
             if (epoch + 1) % self.eval_freq == 0:
-                t0 = time.time()
-                val_metrics = self._eval_loader(model, val_loader)
-                val_metrics["validation_step_time"] = time.time() - t0
-                metric_logger.log(val_metrics)
-                logger.info("Epoch: %04d, %s", epoch + 1, val_metrics)
-
-                if len(val_loader) == 0:
-                    # No validation windows (tiny split): select on train loss.
-                    selection = train_loss
-                else:
-                    selection = self._selection(val_metrics)
-                if selection < best_selection:
-                    patience_counter = 0
-                    best_selection = selection
-                    best_epoch = epoch
-                    if self.checkpoint_dir:
-                        checkpoints.save_weights(
-                            os.path.join(self.checkpoint_dir, f"{config_hash}.npz"),
-                            model,
-                        )
-                        logger.info("Model saved at epoch %d", epoch)
-                    final_test_metrics = {
-                        f"test_{k.replace('validation_', '')}": v
-                        for k, v in self._eval_loader(model, test_loader).items()
-                    }
-                    metric_logger.log(final_test_metrics)
-                else:
-                    patience_counter += 1
+                improved = eval_and_select(model, epoch, train_loss=train_loss)
+                if not improved:
                     if (
                         self.patience > 0
                         and patience_counter * self.eval_freq >= self.patience
@@ -491,6 +512,48 @@ def _pgt_eval_jit(model, data_i):
 # ---------------------------------------------------------------------------
 
 
+def _ndcg_listwise_loss(y_pred, label, mask, k: int):
+    """Listwise softmax over the label's top-k with DCG discount weights.
+
+    Per masked row: take the k highest-label targets, weight them
+    ``label_j / log2(rank + 2)`` (the NDCG gain/discount of the rank the
+    label itself assigns), normalise, and cross-entropy them against
+    ``log_softmax(scores)``. vs plain CE (which spends capacity matching
+    the full distribution's tail) this concentrates the objective on
+    exactly the entries NDCG@k scores.
+    """
+    gains, idx = jax.lax.top_k(label, k)  # (rows, k) label-ranked targets
+    disc = 1.0 / jnp.log2(jnp.arange(k, dtype=y_pred.dtype) + 2.0)
+    w = gains * disc[None, :]
+    w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-12)
+    logp = jax.nn.log_softmax(y_pred, axis=-1)
+    row_loss = -jnp.sum(w * jnp.take_along_axis(logp, idx, axis=-1), axis=-1)
+    row_loss = jnp.where(jnp.sum(gains, axis=-1) > 0, row_loss, 0.0)
+    filtered = jnp.where(mask, row_loss, 0.0)
+    return jnp.sum(filtered) / jnp.sum(mask)
+
+
+def _hinge_rank_loss(y_pred, label, mask, k: int, margin: float):
+    """Pairwise hinge on active rows against top-k hard negatives.
+
+    Per masked row: every positive target (label > 0, weighted by its
+    label) must beat the k highest-SCORING zero-label nodes by ``margin``:
+    mean_p w_p * mean_neg relu(margin - s_p + s_neg). Directly penalises
+    the inversions NDCG counts, at O(k n) per row instead of O(n^2).
+    """
+    neg_scores = jnp.where(label > 0, -jnp.inf, y_pred)
+    hard, _ = jax.lax.top_k(neg_scores, k)  # (rows, k)
+    hard = jnp.where(jnp.isfinite(hard), hard, -1e30)
+    # (rows, n, k): positive j vs hard negative l
+    viol = jax.nn.relu(margin - y_pred[..., :, None] + hard[..., None, :])
+    per_pos = jnp.mean(viol, axis=-1)  # (rows, n)
+    w = jnp.where(label > 0, label, 0.0)
+    w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-12)
+    row_loss = jnp.sum(w * per_pos, axis=-1)
+    filtered = jnp.where(mask, row_loss, 0.0)
+    return jnp.sum(filtered) / jnp.sum(mask)
+
+
 class TGBTrainer(_WindowedTrainerBase):
     """Reference src/engine/trainer_tgb.py."""
 
@@ -498,6 +561,13 @@ class TGBTrainer(_WindowedTrainerBase):
         TGBGraphNeuralCDECfg, TGBGraphNeuralODECfg, TGBSTGraphNeuralODECfg
     ] = pydantic.Field(..., discriminator="name")
     dataset: TGBDataSetCfg = pydantic.Field(...)
+    # Opt-in ranking-aligned objectives (VERDICT r4 item 3b): the reference
+    # trains masked softmax CE (trainer_tgb.py:42-60) but SELECTS on
+    # NDCG@10 -- "ce" keeps that; "listwise" is a top-k DCG-weighted
+    # softmax CE; "hinge" is a pairwise margin against hard negatives.
+    loss_type: tp.Literal["ce", "listwise", "hinge"] = "ce"
+    rank_topk: int = 10
+    hinge_margin: float = 0.1
 
     def _data_tuple(self, model, d):
         return (
@@ -512,21 +582,24 @@ class TGBTrainer(_WindowedTrainerBase):
         start_time, t_i, adj_coeffs, x_t, x0, label, mask = data_i
         return model(t_i, adj_coeffs, x_t, x0, start_time), label, mask
 
-    @staticmethod
-    def _loss_single(model, data_i):
+    def _loss_single(self, model, data_i):
         y_pred, label, mask = TGBTrainer._predict(model, data_i)
+        if self.loss_type == "listwise":
+            return _ndcg_listwise_loss(y_pred, label, mask, self.rank_topk)
+        if self.loss_type == "hinge":
+            return _hinge_rank_loss(
+                y_pred, label, mask, self.rank_topk, self.hinge_margin)
         loss = jnp.sum(-label * jax.nn.log_softmax(y_pred, axis=-1), axis=-1)
         filtered = jnp.where(mask, loss, 0.0)
         return jnp.sum(filtered) / jnp.sum(mask)
 
-    @staticmethod
-    def _loss(model, data_i):
+    def _loss(self, model, data_i):
         if data_i[1].ndim == 2:  # stacked windows
             losses = jax.vmap(
-                lambda *args: TGBTrainer._loss_single(model, args)
+                lambda *args: self._loss_single(model, args)
             )(*data_i)
             return jnp.mean(losses)
-        return TGBTrainer._loss_single(model, data_i)
+        return self._loss_single(model, data_i)
 
     def _eval_metrics(self, model, data_i):
         ce, ndcg = _tgb_eval_jit(model, data_i)
