@@ -329,7 +329,11 @@ def tiled_regime_train(n=1505, B=2, directed=True, max_steps=64):
 
     step_s = train_step_time(vf, ts, coeffs, y0, adjoint="checkpointed",
                              max_steps=max_steps, reds=reds)
-    return fwd_s, step_s
+    # Full (store-all) adjoint in the tiled regime (VERDICT r4 item 4):
+    # skips the backward's forward replay at max_steps x state memory.
+    step_full_s = train_step_time(vf, ts, coeffs, y0, adjoint="full",
+                                  max_steps=max_steps, reds=reds)
+    return fwd_s, step_s, step_full_s
 
 
 # v5e HBM bandwidth (speed-of-light reference for the roofline fractions;
@@ -430,9 +434,11 @@ def main():
         extras["scaled_n2048_error"] = repr(exc)
 
     try:
-        fwd1505, step1505 = tiled_regime_train(n=1505, directed=True)
+        fwd1505, step1505, step1505_full = tiled_regime_train(
+            n=1505, directed=True)
         extras["tiled_fwd_solve_n1505_s"] = fwd1505
         extras["train_step_n1505_s"] = step1505
+        extras["train_step_n1505_full_adjoint_s"] = step1505_full
     except Exception as exc:  # noqa: BLE001
         extras["train_step_n1505_error"] = repr(exc)
 

@@ -105,6 +105,10 @@ class TGBGraphNeuralCDECfg(pydantic.BaseModel):
 
     model_config = pydantic.ConfigDict(extra="forbid")
 
+    # "checkpointed" (sqrt-memory adjoint) or "full" (store-all: skips
+    # the backward re-integration; more memory, faster step)
+    adjoint: tp.Literal["checkpointed", "full"] = "checkpointed"
+
     def build(self, model_key) -> TGBGraphNeuralCDE:
         model_key, vf_key = jr.split(model_key, 2)
         vector_field = self.vector_field.build(vf_key)
@@ -117,6 +121,7 @@ class TGBGraphNeuralCDECfg(pydantic.BaseModel):
             use_mlps=self.use_mlps,
             dt0=self.dt0,
             persistence_head=self.persistence_head,
+            adjoint=self.adjoint,
             key=model_key,
         )
 
@@ -134,6 +139,10 @@ class TGBGraphNeuralODECfg(pydantic.BaseModel):
 
     model_config = pydantic.ConfigDict(extra="forbid")
 
+    # "checkpointed" (sqrt-memory adjoint) or "full" (store-all: skips
+    # the backward re-integration; more memory, faster step)
+    adjoint: tp.Literal["checkpointed", "full"] = "checkpointed"
+
     def build(self, model_key) -> TGBGraphNeuralODE:
         model_key, vf_key = jr.split(model_key, 2)
         vector_field = self.vector_field.build(vf_key)
@@ -145,6 +154,7 @@ class TGBGraphNeuralODECfg(pydantic.BaseModel):
             return_sequence=self.return_sequence,
             use_mlps=self.use_mlps,
             max_steps=self.max_steps,
+            adjoint=self.adjoint,
             key=model_key,
         )
 
@@ -163,6 +173,10 @@ class TGBSTGraphNeuralODECfg(pydantic.BaseModel):
 
     model_config = pydantic.ConfigDict(extra="forbid")
 
+    # "checkpointed" (sqrt-memory adjoint) or "full" (store-all: skips
+    # the backward re-integration; more memory, faster step)
+    adjoint: tp.Literal["checkpointed", "full"] = "checkpointed"
+
     def build(self, model_key) -> TGBSTGraphNeuralCDE:
         model_key, f_func_key, g_func_key = jr.split(model_key, 3)
         f_func = self.f_func.build(f_func_key)
@@ -176,6 +190,7 @@ class TGBSTGraphNeuralODECfg(pydantic.BaseModel):
             return_sequence=self.return_sequence,
             use_mlps=self.use_mlps,
             max_steps=self.max_steps,
+            adjoint=self.adjoint,
             key=model_key,
         )
 
@@ -194,6 +209,10 @@ class PGTGraphNeuralCDECfg(pydantic.BaseModel):
 
     model_config = pydantic.ConfigDict(extra="forbid")
 
+    # "checkpointed" (sqrt-memory adjoint) or "full" (store-all: skips
+    # the backward re-integration; more memory, faster step)
+    adjoint: tp.Literal["checkpointed", "full"] = "checkpointed"
+
     def build(self, model_key) -> PGTGraphNeuralCDE:
         model_key, vf_key = jr.split(model_key, 2)
         vector_field = self.vector_field.build(vf_key)
@@ -206,6 +225,7 @@ class PGTGraphNeuralCDECfg(pydantic.BaseModel):
             method=self.method,
             return_sequence=self.return_sequence,
             dt0=self.dt0,
+            adjoint=self.adjoint,
             key=model_key,
         )
 
@@ -224,6 +244,10 @@ class PGTGraphNeuralODECfg(pydantic.BaseModel):
 
     model_config = pydantic.ConfigDict(extra="forbid")
 
+    # "checkpointed" (sqrt-memory adjoint) or "full" (store-all: skips
+    # the backward re-integration; more memory, faster step)
+    adjoint: tp.Literal["checkpointed", "full"] = "checkpointed"
+
     def build(self, model_key) -> PGTGraphNeuralODE:
         model_key, vf_key = jr.split(model_key, 2)
         vector_field = self.vector_field.build(vf_key)
@@ -236,6 +260,7 @@ class PGTGraphNeuralODECfg(pydantic.BaseModel):
             method=self.method,
             return_sequence=self.return_sequence,
             max_steps=self.max_steps,
+            adjoint=self.adjoint,
             key=model_key,
         )
 
@@ -254,6 +279,10 @@ class PGTSTGraphNeuralCDECfg(pydantic.BaseModel):
 
     model_config = pydantic.ConfigDict(extra="forbid")
 
+    # "checkpointed" (sqrt-memory adjoint) or "full" (store-all: skips
+    # the backward re-integration; more memory, faster step)
+    adjoint: tp.Literal["checkpointed", "full"] = "checkpointed"
+
     def build(self, model_key) -> PGTSTGraphNeuralCDE:
         model_key, f_func_key, g_func_key = jr.split(model_key, 3)
         f_func = self.f_func.build(f_func_key)
@@ -266,6 +295,7 @@ class PGTSTGraphNeuralCDECfg(pydantic.BaseModel):
             feature_dim=self.feature_dim,
             method=self.method,
             max_steps=self.max_steps,
+            adjoint=self.adjoint,
             key=model_key,
         )
 

@@ -34,6 +34,8 @@ class PGTGraphNeuralCDE(Module):
     return_sequence: bool = static_field()
     dt0: float = static_field()
 
+    adjoint: str = static_field()
+
     def __init__(
         self,
         vector_field: Module,
@@ -44,6 +46,7 @@ class PGTGraphNeuralCDE(Module):
         method: str = "Tsit5",
         return_sequence: bool = False,
         dt0: float = 0.1,
+        adjoint: str = "checkpointed",
         *,
         key: jax.Array,
     ):
@@ -64,6 +67,7 @@ class PGTGraphNeuralCDE(Module):
         self.hidden_dim = hidden_dim
         self.method = method
         self.interpolation = interpolation
+        self.adjoint = adjoint
         self.return_sequence = return_sequence
         self.dt0 = dt0
 
@@ -75,7 +79,7 @@ class PGTGraphNeuralCDE(Module):
         x0: jax.Array,
         evolving_out: bool = False,
         global_readout: bool = True,
-        adjoint: str = "checkpointed",
+        adjoint: tp.Optional[str] = None,
     ) -> jax.Array:
         control_adj = make_control(self.interpolation, ts, coeffs_adj, slim=True)
         control_data = make_control(self.interpolation, ts, x_coeffs)
@@ -97,7 +101,7 @@ class PGTGraphNeuralCDE(Module):
             stepsize_controller=ConstantStepSize(),
             saveat=saveat,
             max_steps=num_steps,
-            adjoint=adjoint,
+            adjoint=adjoint or self.adjoint,
         )
 
         ys_last = sol.ys[-1] if evolving_out else sol.ys
@@ -119,6 +123,8 @@ class PGTGraphNeuralODE(Module):
     return_sequence: bool = static_field()
     max_steps: int = static_field()
 
+    adjoint: str = static_field()
+
     def __init__(
         self,
         vector_field: Module,
@@ -129,6 +135,7 @@ class PGTGraphNeuralODE(Module):
         method: str = "Tsit5",
         return_sequence: bool = True,
         max_steps: int = 1024,
+        adjoint: str = "checkpointed",
         *,
         key: jax.Array,
     ):
@@ -145,6 +152,7 @@ class PGTGraphNeuralODE(Module):
         self.hidden_dim = hidden_dim
         self.method = method
         self.interpolation = interpolation
+        self.adjoint = adjoint
         self.return_sequence = return_sequence
         self.max_steps = max_steps
 
@@ -156,7 +164,7 @@ class PGTGraphNeuralODE(Module):
         x_coeffs,
         x0: jax.Array,
         evolving_out: bool = False,
-        adjoint: str = "checkpointed",
+        adjoint: tp.Optional[str] = None,
     ) -> jax.Array:
         control_adj = make_control(self.interpolation, ts, coeffs_adj, slim=True)
         term = ODETerm(self.vector_field)
@@ -174,7 +182,7 @@ class PGTGraphNeuralODE(Module):
             stepsize_controller=PIDController(rtol=1e-3, atol=1e-6),
             saveat=saveat,
             max_steps=self.max_steps,
-            adjoint=adjoint,
+            adjoint=adjoint or self.adjoint,
         )
 
         if self.return_sequence and evolving_out:
@@ -198,6 +206,8 @@ class PGTSTGraphNeuralCDE(Module):
     data_dim: int = static_field()
     max_steps: int = static_field()
 
+    adjoint: str = static_field()
+
     def __init__(
         self,
         f_func: Module,
@@ -207,6 +217,7 @@ class PGTSTGraphNeuralCDE(Module):
         feature_dim: int,
         method: str = "Tsit5",
         max_steps: int = 4096,
+        adjoint: str = "checkpointed",
         *,
         key: jax.Array,
     ):
@@ -230,6 +241,7 @@ class PGTSTGraphNeuralCDE(Module):
         )
         self.method = method
         self.interpolation = interpolation
+        self.adjoint = adjoint
         self.data_dim = data_dim
         self.max_steps = max_steps
 
@@ -240,7 +252,7 @@ class PGTSTGraphNeuralCDE(Module):
         x_coeffs,
         x0: jax.Array,
         evolving_out: bool = False,
-        adjoint: str = "checkpointed",
+        adjoint: tp.Optional[str] = None,
     ) -> jax.Array:
         control_data = make_control(self.interpolation, ts, x_coeffs)
         term = ODETerm(self.wrapped_vector_field)
@@ -260,7 +272,7 @@ class PGTSTGraphNeuralCDE(Module):
             stepsize_controller=PIDController(rtol=1e-3, atol=1e-6),
             saveat=saveat,
             max_steps=self.max_steps,
-            adjoint=adjoint,
+            adjoint=adjoint or self.adjoint,
         )
 
         ys_last = sol.ys[-1] if evolving_out else sol.ys

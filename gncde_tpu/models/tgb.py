@@ -56,6 +56,8 @@ class TGBGraphNeuralCDE(Module):
     return_sequence: bool = static_field()
     dt0: float = static_field()
 
+    adjoint: str = static_field()
+
     def __init__(
         self,
         vector_field: Module,
@@ -66,6 +68,7 @@ class TGBGraphNeuralCDE(Module):
         use_mlps: bool = False,
         dt0: float = 0.01,
         persistence_head: bool = False,
+        adjoint: str = "checkpointed",
         *,
         key: jax.Array,
     ):
@@ -103,6 +106,7 @@ class TGBGraphNeuralCDE(Module):
         self.hidden_dim = hidden_dim
         self.method = method
         self.interpolation = interpolation
+        self.adjoint = adjoint
         self.return_sequence = return_sequence
         self.dt0 = dt0
 
@@ -114,7 +118,7 @@ class TGBGraphNeuralCDE(Module):
         x0: jax.Array,
         start_time: tp.Optional[jax.Array] = None,
         evolving_out: bool = False,
-        adjoint: str = "checkpointed",
+        adjoint: tp.Optional[str] = None,
     ) -> jax.Array:
         x_raw = x_data  # (T, n, n): adjacency-row features, kept for the head
         x_data = jax.vmap(jax.vmap(self.data_encoder))(x_data)
@@ -147,7 +151,7 @@ class TGBGraphNeuralCDE(Module):
             stepsize_controller=ConstantStepSize(),
             saveat=saveat,
             max_steps=num_steps,
-            adjoint=adjoint,
+            adjoint=adjoint or self.adjoint,
         )
 
         def _persist(snapshot):
@@ -178,6 +182,8 @@ class TGBGraphNeuralODE(Module):
     return_sequence: bool = static_field()
     max_steps: int = static_field()
 
+    adjoint: str = static_field()
+
     def __init__(
         self,
         vector_field: Module,
@@ -187,6 +193,7 @@ class TGBGraphNeuralODE(Module):
         return_sequence: bool = True,
         use_mlps: bool = False,
         max_steps: int = 1024,
+        adjoint: str = "checkpointed",
         *,
         key: jax.Array,
     ):
@@ -198,6 +205,7 @@ class TGBGraphNeuralODE(Module):
         self.hidden_dim = hidden_dim
         self.method = method
         self.interpolation = interpolation
+        self.adjoint = adjoint
         self.return_sequence = return_sequence
         self.max_steps = max_steps
 
@@ -209,7 +217,7 @@ class TGBGraphNeuralODE(Module):
         x0: jax.Array,
         start_time: tp.Optional[jax.Array] = None,
         evolving_out: bool = False,
-        adjoint: str = "checkpointed",
+        adjoint: tp.Optional[str] = None,
     ) -> jax.Array:
         control_adj = make_control(self.interpolation, ts, coeffs_adj, slim=True)
         term = ODETerm(self.vector_field)
@@ -227,7 +235,7 @@ class TGBGraphNeuralODE(Module):
             stepsize_controller=PIDController(rtol=1e-3, atol=1e-6),
             saveat=saveat,
             max_steps=self.max_steps,
-            adjoint=adjoint,
+            adjoint=adjoint or self.adjoint,
         )
 
         if self.return_sequence and evolving_out:
@@ -253,6 +261,8 @@ class TGBSTGraphNeuralCDE(Module):
     data_embed_dim: int = static_field()
     max_steps: int = static_field()
 
+    adjoint: str = static_field()
+
     def __init__(
         self,
         f_func: Module,
@@ -263,6 +273,7 @@ class TGBSTGraphNeuralCDE(Module):
         return_sequence: bool = True,
         use_mlps: bool = False,
         max_steps: int = 4096,
+        adjoint: str = "checkpointed",
         *,
         key: jax.Array,
     ):
@@ -280,6 +291,7 @@ class TGBSTGraphNeuralCDE(Module):
         )
         self.method = method
         self.interpolation = interpolation
+        self.adjoint = adjoint
         self.return_sequence = return_sequence
         self.data_embed_dim = data_embed_dim
         self.max_steps = max_steps
@@ -292,7 +304,7 @@ class TGBSTGraphNeuralCDE(Module):
         x0: jax.Array,
         start_time: tp.Optional[jax.Array] = None,
         evolving_out: bool = False,
-        adjoint: str = "checkpointed",
+        adjoint: tp.Optional[str] = None,
     ) -> jax.Array:
         x_data = jax.vmap(jax.vmap(self.data_encoder))(x_data)
         coeffs_data = _interp_coeffs(self.interpolation, ts, x_data)
@@ -315,7 +327,7 @@ class TGBSTGraphNeuralCDE(Module):
             stepsize_controller=PIDController(rtol=1e-3, atol=1e-6),
             saveat=saveat,
             max_steps=self.max_steps,
-            adjoint=adjoint,
+            adjoint=adjoint or self.adjoint,
         )
 
         if self.return_sequence and evolving_out:

@@ -1098,11 +1098,14 @@ def tiled_vf_eval(coeffs, ts, t, Z, vf,
     df, cf, bf, af = (s.astype(jnp.float32) for s in slabs)
     A_t = ((df * tau + cf) * tau + bf) * tau + af
     dA_t = (3.0 * df * tau + 2.0 * cf) * tau + bf
-    if NP != n:
-        A_t = jnp.zeros((NP, NP), A_t.dtype).at[:n, :n].set(A_t)
-        dA_t = jnp.zeros((NP, NP), dA_t.dtype).at[:n, :n].set(dA_t)
+    # Cast to bf16 BEFORE padding: if XLA fails to fuse the pad into the
+    # materialise write, the worst-case intermediates are bf16 NP^2 rather
+    # than f32 NP^2 (ADVICE r4).
     A_h = jax.lax.stop_gradient(A_t.astype(jnp.bfloat16))
     dA_h = jax.lax.stop_gradient(dA_t.astype(jnp.bfloat16))
+    if NP != n:
+        A_h = jnp.zeros((NP, NP), A_h.dtype).at[:n, :n].set(A_h)
+        dA_h = jnp.zeros((NP, NP), dA_h.dtype).at[:n, :n].set(dA_h)
     feats = Z
     L = len(vf.gnn_layers)
     for l, layer in enumerate(vf.gnn_layers):
