@@ -207,10 +207,9 @@ class BCSRMatrixControl(Module):
         trainer's vmapped coefficients carry) is handled like
         SparseMatrixControl.from_stacked: per-element patterns widened to
         one shared slot count, leaves stacked along axis 0 so the control
-        vmaps. NOTE for TPU: vmap of the scalar-prefetch block kernels
-        unrolls the batch -- the block-sparse path is sized for the
-        UNBATCHED windowed trainers (one big graph per window); batched
-        (dyn) use is exact but CPU/test-grade.
+        vmaps. The loss-level vmap dispatches every block kernel to ONE
+        batch-grid pallas_call (ops/bcsr.py custom_vmap rules) -- batched
+        (dyn) use is production-grade, no unrolling.
         """
         ts = jnp.asarray(ts)
         if interpolation == "linear":

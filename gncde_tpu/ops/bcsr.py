@@ -194,25 +194,28 @@ def _use_xla_fallback() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _spmm_kernel(idx_ref, blk_ref, m_ref, out_ref):
-    k = pl.program_id(1)
+def _make_spmm_kernel(k_axis: int):
+    def kernel(idx_ref, blk_ref, m_ref, out_ref):
+        k = pl.program_id(k_axis)
 
-    @pl.when(k == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
+        @pl.when(k == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
 
-    out_ref[:] += jax.lax.dot_general(
-        blk_ref[0, 0], m_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+        out_ref[:] += jax.lax.dot_general(
+            blk_ref[0, 0], m_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _bcsr_spmm_pallas(b: BCSR, M: jax.Array, interpret: bool = False):
-    bs, nb, kb = b.block_size, b.nb, b.kb
-    H = M.shape[1]
-    Mp = _pad_rows(M, nb * bs)
+def _spmm_call(block_idx, blocks, Mp, *, interpret):
+    """Unbatched blocked-ELL SpMM pallas_call on padded operands."""
+    nb, kb = block_idx.shape
+    bs = blocks.shape[-1]
+    H = Mp.shape[-1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # block_idx
         grid=(nb, kb),
@@ -230,12 +233,86 @@ def _bcsr_spmm_pallas(b: BCSR, M: jax.Array, interpret: bool = False):
             (bs, H), lambda i, k, idx: (i, 0), memory_space=pltpu.VMEM
         ),
     )
-    out = pl.pallas_call(
-        _spmm_kernel,
+    return pl.pallas_call(
+        _make_spmm_kernel(1),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb * bs, H), jnp.float32),
         interpret=interpret,
-    )(b.block_idx, b.blocks, Mp)
+    )(block_idx, blocks, Mp)
+
+
+def _spmm_call_batched(block_idx, blocks, Mp, flags, *, interpret):
+    """Batch-grid blocked-ELL SpMM: ONE pallas_call with the batch as the
+    leading grid dimension (the megakernel's custom_vmap arrangement --
+    nothing is vmapped, so the scalar-prefetch index maps don't unroll).
+    ``flags`` says which operands carry the batch axis; unbatched operands
+    are indexed ignoring the batch coordinate (no broadcast copies)."""
+    idx_b, blk_b, m_b = flags
+    nb, kb = block_idx.shape[-2:]
+    bs = blocks.shape[-1]
+    H = Mp.shape[-1]
+    B = (block_idx.shape[0] if idx_b else
+         blocks.shape[0] if blk_b else Mp.shape[0])
+
+    if idx_b:
+        take_idx = lambda b, i, k, idx: idx[b, i, k]  # noqa: E731
+    else:
+        take_idx = lambda b, i, k, idx: idx[i, k]  # noqa: E731
+    blk_spec = pl.BlockSpec(
+        (None, 1, 1, bs, bs) if blk_b else (1, 1, bs, bs),
+        (lambda b, i, k, idx: (b, i, k, 0, 0)) if blk_b
+        else (lambda b, i, k, idx: (i, k, 0, 0)),
+        memory_space=pltpu.VMEM,
+    )
+    m_spec = pl.BlockSpec(
+        (None, bs, H) if m_b else (bs, H),
+        (lambda b, i, k, idx: (b, take_idx(b, i, k, idx), 0)) if m_b
+        else (lambda b, i, k, idx: (take_idx(b, i, k, idx), 0)),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, nb, kb),
+        in_specs=[blk_spec, m_spec],
+        out_specs=pl.BlockSpec(
+            (None, bs, H), lambda b, i, k, idx: (b, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        _make_spmm_kernel(2),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, nb * bs, H), jnp.float32),
+        interpret=interpret,
+    )(block_idx, blocks, Mp)
+
+
+@functools.lru_cache(maxsize=None)
+def _spmm_core(interpret: bool):
+    """custom_vmap-wrapped padded SpMM: the loss-level batch vmap (dyn
+    trainer) dispatches to the batch-grid kernel instead of unrolling
+    vmap-of-scalar-prefetch-pallas_call (VERDICT r4 item 7)."""
+    import jax.custom_batching
+
+    @jax.custom_batching.custom_vmap
+    def core(block_idx, blocks, Mp):
+        return _spmm_call(block_idx, blocks, Mp, interpret=interpret)
+
+    @core.def_vmap
+    def _rule(axis_size, in_batched, block_idx, blocks, Mp):
+        flags = tuple(bool(b) for b in in_batched)
+        out = _spmm_call_batched(block_idx, blocks, Mp, flags,
+                                 interpret=interpret)
+        return out, True
+
+    return core
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _bcsr_spmm_pallas(b: BCSR, M: jax.Array, interpret: bool = False):
+    bs, nb = b.block_size, b.nb
+    Mp = _pad_rows(M, nb * bs)
+    out = _spmm_core(interpret)(b.block_idx, b.blocks, Mp)
     return out[: M.shape[0]]
 
 
@@ -254,16 +331,9 @@ def _sddmm_kernel(idx_ref, x_ref, y_ref, out_ref):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("block_size", "interpret"))
-def _bcsr_sddmm_pallas(
-    block_idx: jax.Array, X: jax.Array, Y: jax.Array, block_size: int,
-    interpret: bool = False,
-):
+def _sddmm_call(block_idx, Xp, Yp, bs, *, interpret):
     nb, kb = block_idx.shape
-    bs = block_size
-    H = X.shape[1]
-    Xp = _pad_rows(X, nb * bs)
-    Yp = _pad_rows(Y, nb * bs)
+    H = Xp.shape[-1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb, kb),
@@ -287,6 +357,77 @@ def _bcsr_sddmm_pallas(
         out_shape=jax.ShapeDtypeStruct((nb, kb, bs, bs), jnp.float32),
         interpret=interpret,
     )(block_idx, Xp, Yp)
+
+
+def _sddmm_call_batched(block_idx, Xp, Yp, bs, flags, *, interpret):
+    """Batch-grid SDDMM (see _spmm_call_batched)."""
+    idx_b, x_b, y_b = flags
+    nb, kb = block_idx.shape[-2:]
+    H = Xp.shape[-1]
+    B = (block_idx.shape[0] if idx_b else
+         Xp.shape[0] if x_b else Yp.shape[0])
+
+    if idx_b:
+        take_idx = lambda b, i, k, idx: idx[b, i, k]  # noqa: E731
+    else:
+        take_idx = lambda b, i, k, idx: idx[i, k]  # noqa: E731
+    x_spec = pl.BlockSpec(
+        (None, bs, H) if x_b else (bs, H),
+        (lambda b, i, k, idx: (b, i, 0)) if x_b
+        else (lambda b, i, k, idx: (i, 0)),
+        memory_space=pltpu.VMEM,
+    )
+    y_spec = pl.BlockSpec(
+        (None, bs, H) if y_b else (bs, H),
+        (lambda b, i, k, idx: (b, take_idx(b, i, k, idx), 0)) if y_b
+        else (lambda b, i, k, idx: (take_idx(b, i, k, idx), 0)),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, nb, kb),
+        in_specs=[x_spec, y_spec],
+        out_specs=pl.BlockSpec(
+            (None, 1, 1, bs, bs), lambda b, i, k, idx: (b, i, k, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        _sddmm_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, nb, kb, bs, bs), jnp.float32),
+        interpret=interpret,
+    )(block_idx, Xp, Yp)
+
+
+@functools.lru_cache(maxsize=None)
+def _sddmm_core(bs: int, interpret: bool):
+    import jax.custom_batching
+
+    @jax.custom_batching.custom_vmap
+    def core(block_idx, Xp, Yp):
+        return _sddmm_call(block_idx, Xp, Yp, bs, interpret=interpret)
+
+    @core.def_vmap
+    def _rule(axis_size, in_batched, block_idx, Xp, Yp):
+        flags = tuple(bool(b) for b in in_batched)
+        out = _sddmm_call_batched(block_idx, Xp, Yp, bs, flags,
+                                  interpret=interpret)
+        return out, True
+
+    return core
+
+
+@functools.partial(jax.jit, static_argnames=("block_size", "interpret"))
+def _bcsr_sddmm_pallas(
+    block_idx: jax.Array, X: jax.Array, Y: jax.Array, block_size: int,
+    interpret: bool = False,
+):
+    nb = block_idx.shape[0]
+    bs = block_size
+    Xp = _pad_rows(X, nb * bs)
+    Yp = _pad_rows(Y, nb * bs)
+    return _sddmm_core(bs, interpret)(block_idx, Xp, Yp)
 
 
 def bcsr_sddmm(
