@@ -329,11 +329,26 @@ def tiled_regime_train(n=1505, B=2, directed=True, max_steps=64):
 
     step_s = train_step_time(vf, ts, coeffs, y0, adjoint="checkpointed",
                              max_steps=max_steps, reds=reds)
-    # Full (store-all) adjoint in the tiled regime (VERDICT r4 item 4):
-    # skips the backward's forward replay at max_steps x state memory.
-    step_full_s = train_step_time(vf, ts, coeffs, y0, adjoint="full",
-                                  max_steps=max_steps, reds=reds)
-    return fwd_s, step_s, step_full_s
+    # Full (store-all) adjoint in the tiled regime (VERDICT r4 item 4).
+    # Memory: store-all keeps every stage's saved residuals for max_steps
+    # steps -- at n=1505 that's ~max_steps * 6 * 9.4 MB of bf16 planes per
+    # element, so B=2 x 64 steps blows HBM (measured RESOURCE_EXHAUSTED).
+    # Published at B=1, max_steps=32 (the adaptive solve takes < 32 steps
+    # at this tolerance); errors are recorded, never clobber step_s.
+    try:
+        coeffs1 = jax.tree_util.tree_map(lambda c: c[:1], coeffs)
+        reds1 = jax.tree_util.tree_map(lambda r: r[:1], reds)
+        step_full_s = train_step_time(
+            vf, ts, coeffs1, y0[:1], adjoint="full", max_steps=32,
+            reds=reds1)
+        # Apples-to-apples checkpointed companion at the same (B=1, 32).
+        step_ck1_s = train_step_time(
+            vf, ts, coeffs1, y0[:1], adjoint="checkpointed", max_steps=32,
+            reds=reds1)
+    except Exception as exc:  # noqa: BLE001
+        step_full_s = exc
+        step_ck1_s = None
+    return fwd_s, step_s, (step_full_s, step_ck1_s)
 
 
 # v5e HBM bandwidth (speed-of-light reference for the roofline fractions;
@@ -434,11 +449,16 @@ def main():
         extras["scaled_n2048_error"] = repr(exc)
 
     try:
-        fwd1505, step1505, step1505_full = tiled_regime_train(
+        fwd1505, step1505, (step1505_full, step1505_ck1) = tiled_regime_train(
             n=1505, directed=True)
         extras["tiled_fwd_solve_n1505_s"] = fwd1505
         extras["train_step_n1505_s"] = step1505
-        extras["train_step_n1505_full_adjoint_s"] = step1505_full
+        if isinstance(step1505_full, Exception):
+            extras["train_step_n1505_full_adjoint_error"] = repr(
+                step1505_full)
+        else:
+            extras["train_step_n1505_full_adjoint_b1_s"] = step1505_full
+            extras["train_step_n1505_checkpointed_b1_s"] = step1505_ck1
     except Exception as exc:  # noqa: BLE001
         extras["train_step_n1505_error"] = repr(exc)
 
