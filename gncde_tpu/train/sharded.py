@@ -6,12 +6,15 @@ combination across the data axis and the collectives for the node-sharded
 dense operator products. This is the multi-chip path the single-chip trainer
 composes with (the reference has no distributed path at all).
 
-NOTE on kernels: this path targets the DENSE XLA fused operator (the SPMD
-partitioner can slice and insert collectives around plain HLO). The Pallas
-megakernel is a custom call GSPMD cannot partition -- multi-chip runs
-should keep ``fusion_backend: dense`` (the node-sharded explicit-collective
-path in parallel/sharded_ops.py is the hand-written alternative); the
-megakernel remains the single-chip fast path.
+NOTE on kernels: this GSPMD path targets the DENSE XLA fused operator (the
+SPMD partitioner can slice and insert collectives around plain HLO, but a
+Pallas custom call is opaque to it) -- runs through it should keep
+``fusion_backend: dense``. Multi-chip runs that want the Pallas kernel
+speed use the shard_map path instead: parallel/sharded_ops.py
+``backend="pallas"`` keeps every per-shard heavy product on the tiled pair
+kernel (forward AND adjoint) with explicit all_gather/psum_scatter or
+ppermute-halo collectives; parallel/sharded_model.py
+``make_sharded_gncde_loss(backend="pallas")`` is the training entry.
 """
 
 from __future__ import annotations
