@@ -115,6 +115,50 @@ def test_enc_idx_call_pallas_matches_dense_backend(directed, backend_guard):
     )
 
 
+def _count_pallas_calls(jaxpr) -> int:
+    total = 0
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == "pallas_call":
+            total += 1
+        for p in eqn.params.values():
+            for sub in _subjaxprs(p):
+                total += _count_pallas_calls(sub)
+    return total
+
+
+def _subjaxprs(p):
+    if isinstance(p, jax.extend.core.Jaxpr):
+        yield p
+    elif isinstance(p, jax.extend.core.ClosedJaxpr):
+        yield p.jaxpr
+    elif isinstance(p, (tuple, list)):
+        for x in p:
+            yield from _subjaxprs(x)
+
+
+@pytest.mark.parametrize("directed", [False, True])
+def test_enc_idx_dispatches_to_pallas(directed, backend_guard):
+    """The 4 enc_idx reference configs must actually land on the kernel
+    surface: under fusion_backend=megakernel the traced eval contains the
+    fused modulation kernel + one pair sweep per layer (L=2 -> 3 calls),
+    and none under the dense backend."""
+    n = 24
+    vf = _mk_vf(directed, n)
+    ctrl, ts = _control(n)
+    Z = jr.normal(jr.PRNGKey(13), (n, 8))
+    t = jnp.asarray(0.4)
+
+    ops_config.set_fusion_backend("megakernel")
+    jaxpr = jax.make_jaxpr(lambda t_, Z_: vf(t_, Z_, ctrl))(t, Z)
+    n_pallas = _count_pallas_calls(jaxpr.jaxpr)
+    assert n_pallas == 3, (
+        f"expected modulation kernel + 2 layer pair sweeps, got {n_pallas}"
+    )
+    ops_config.set_fusion_backend("dense")
+    jaxpr = jax.make_jaxpr(lambda t_, Z_: vf(t_, Z_, ctrl))(t, Z)
+    assert _count_pallas_calls(jaxpr.jaxpr) == 0
+
+
 def test_enc_idx_param_grads_flow_through_kernel(backend_guard):
     """value_and_grad through the enc_idx Pallas path: modulation-MLP and
     embedding cotangents are finite, non-zero, and match the XLA path."""
