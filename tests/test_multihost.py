@@ -388,3 +388,137 @@ def test_two_process_sharded_train_step(tmp_path):
     assert set(lines) == {0, 1}, outs
     for field in ("loss1", "loss2", "checksum"):
         assert lines[0][field] == lines[1][field], (field, lines)
+
+
+PALLAS_TRAIN_WORKER = r"""
+import os, sys
+import numpy as np
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+sys.path.insert(0, os.environ["REPO_ROOT"])
+
+from gncde_tpu.parallel import multihost
+
+multihost.initialize(
+    coordinator_address=os.environ["COORDINATOR_ADDRESS"],
+    num_processes=2,
+    process_id=int(os.environ["PROCESS_ID"]),
+)
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gncde_tpu.interp import backward_hermite_coefficients
+from gncde_tpu.models.vector_fields import PermEquivGraphVectorField
+from gncde_tpu.parallel.sharded_model import make_sharded_gncde_loss
+from gncde_tpu.solve import ConstantStepSize
+
+# GRAPH axis across ALL 8 global devices: the node partition spans the two
+# OS processes, so the Pallas path's all_gather/psum_scatter ride the
+# cross-process transport.
+mesh = Mesh(np.asarray(jax.devices()).reshape(-1), ("graph",))
+
+n, T, H = 32, 5, 4
+key = jr.PRNGKey(0)  # same seed on both processes
+vf = PermEquivGraphVectorField(
+    input_dim=H, hidden_dim=H, output_dim=H, num_layers=2,
+    data_embed_dim=1, num_nodes=n, key=key,
+)
+ts = jnp.linspace(0.0, 1.0, T)
+A_path = jr.uniform(jr.PRNGKey(1), (T, n, n)) * 0.1
+coeffs = tuple(backward_hermite_coefficients(ts, A_path))
+y0 = jr.normal(jr.PRNGKey(2), (n, H)) * 0.1
+labels = jnp.zeros((T, n, H))
+
+loss_fn, params0 = make_sharded_gncde_loss(
+    mesh, vf, backend="pallas", tile=4, max_steps=64,
+    stepsize_controller=ConstantStepSize(), dt0=0.1,
+)
+
+def glob(x, spec):
+    s = NamedSharding(mesh, spec)
+    return jax.make_array_from_process_local_data(s, np.asarray(x))
+
+# make_array_from_process_local_data consumes THIS process's rows of every
+# sharded axis: the graph axis spans both processes, so each passes its
+# half of the node dimension.
+pid = jax.process_index()
+half = slice(pid * (n // 2), (pid + 1) * (n // 2))
+ts_g = glob(ts, P(None))
+coeffs_g = tuple(glob(c[:, half], P(None, "graph", None)) for c in coeffs)
+y0_g = glob(y0[half], P("graph", None))
+labels_g = glob(labels[:, half], P(None, "graph", None))
+params_g = jax.tree_util.tree_map(
+    lambda p: glob(p, P()), params0,
+)
+
+step = jax.jit(jax.value_and_grad(loss_fn))
+loss1, grads = step(params_g, ts_g, coeffs_g, y0_g, labels_g)
+params2 = jax.tree_util.tree_map(
+    lambda p, g: p if g is None else p - 1e-2 * g, params_g, grads,
+    is_leaf=lambda x: x is None,
+)
+loss2, _ = step(params2, ts_g, coeffs_g, y0_g, labels_g)
+l1 = float(jax.device_get(loss1))
+l2 = float(jax.device_get(loss2))
+checksum = float(sum(
+    float(jnp.sum(jnp.abs(jax.device_get(g))))
+    for g in jax.tree_util.tree_leaves(grads) if g is not None
+))
+assert np.isfinite(l1) and np.isfinite(l2), (l1, l2)
+assert l2 < l1, "gradient step did not reduce the loss"
+print(f"PTRAINOK process={jax.process_index()} loss1={l1:.9f} "
+      f"loss2={l2:.9f} checksum={checksum:.9f}")
+"""
+
+
+def test_two_process_pallas_sharded_train(tmp_path):
+    """The Pallas-kernel sharded training loss across 2 OS processes with
+    the GRAPH axis spanning both: per-shard tiled pair kernels + cross-
+    process all_gather/psum_scatter, gradients through the adjoint. Losses
+    and gradient checksums must agree bit-for-bit across processes."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "pallas_train_worker.py"
+    script.write_text(PALLAS_TRAIN_WORKER)
+    port = _free_port()
+    procs = []
+    for pid in (0, 1):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env.pop("JAX_PLATFORMS", None)
+        env.update(
+            COORDINATOR_ADDRESS=f"localhost:{port}",
+            PROCESS_ID=str(pid),
+            REPO_ROOT=repo_root,
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(script)], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+        )
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+                q.wait()
+            pytest.fail("pallas train worker timed out")
+        outs.append(out)
+
+    lines = {}
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out}"
+        for line in out.splitlines():
+            if line.startswith("PTRAINOK"):
+                kv = dict(tok.split("=") for tok in line.split()[1:])
+                lines[int(kv["process"])] = kv
+    assert set(lines) == {0, 1}, outs
+    for field in ("loss1", "loss2", "checksum"):
+        assert lines[0][field] == lines[1][field], (field, lines)
