@@ -236,10 +236,17 @@ class BCSRMatrixControl(Module):
         ]
         kb = max(p[0][0].shape[1] for p in pats)
         kb_T = max(p[1][0].shape[1] for p in pats)
+        # NOTE: compare the underlying functions -- classmethod attribute
+        # access creates a fresh bound object each time, so an ``is`` check
+        # on the bound methods is always False (it silently routed the
+        # batched CUBIC build down the linear single-plane branch, making
+        # the per-element coeffs a T-1-length tuple of un-stacked tiles;
+        # caught by the dyn-trainer bcsr e2e test).
+        cubic = build_one.__func__ is cls._build_one.__func__
         elems = []
         for b in range(B):
             ts_b = ts[b] if ts.ndim == 2 else ts
-            if build_one is cls._build_one:
+            if cubic:
                 arg = [p[b] for p in planes]
             else:
                 arg = planes[0][b]

@@ -166,3 +166,40 @@ def test_vmapped_spmm_grad_matches_per_element():
         np.testing.assert_allclose(
             np.asarray(g_M[i]), np.asarray(gm_i), atol=1e-4, rtol=1e-4
         )
+
+
+def test_batched_cubic_bcsr_control_matches_dense():
+    """Batched (vmapped) cubic BCSR control: adj/dadj at every element must
+    reproduce the dense interpolation. Regression for the classmethod-
+    identity bug that routed the batched CUBIC build down the linear
+    single-plane branch (pre-round-5 latent; caught by the dyn bcsr e2e)."""
+    import jax
+    from gncde_tpu.interp import backward_hermite_coefficients
+    from gncde_tpu.interp.bcsr_paths import BCSRMatrixControl
+    from gncde_tpu.ops.bcsr import BCSR, bcsr_to_dense
+
+    B, T, n = 2, 6, 9
+    ts = jnp.linspace(0, 1, T)
+    A = jr.uniform(jr.PRNGKey(0), (B, T, n, n)) * 0.1
+    t_idx = jnp.broadcast_to(ts[None, :, None, None], (B, T, n, n))
+    X = jnp.stack([t_idx, A], axis=-1)
+    coeffs = jax.vmap(lambda x: backward_hermite_coefficients(ts, x))(X)
+    ctrl = BCSRMatrixControl.from_stacked("cubic", ts, coeffs, block_size=4)
+    assert len(ctrl.path.coeffs) == 4
+    assert ctrl.path.coeffs[0].shape[:2] == (B, T - 1)
+
+    t = jnp.asarray(0.37)
+    vals = jax.vmap(lambda c: c.adj(t).blocks)(ctrl)
+    for b in range(B):
+        lay = ctrl.path.layout
+        dense = bcsr_to_dense(BCSR(
+            lay.block_idx[b], vals[b], n,
+        ))
+        # dense reference: Hermite-evaluate the value channel
+        d_, c_, b_, a_ = (np.asarray(c[b, ..., -1]) for c in coeffs)
+        idx = int(np.searchsorted(np.asarray(ts), float(t), side="right")) - 1
+        tau = float(t) - float(ts[idx])
+        want = ((d_[idx] * tau + c_[idx]) * tau + b_[idx]) * tau + a_[idx]
+        np.testing.assert_allclose(
+            np.asarray(dense), want, atol=1e-5, rtol=1e-5
+        )

@@ -249,3 +249,44 @@ def test_dyn_trainer_sparse_control_e2e(tmp_path):
     )
     summary = Trainer(**cfg).run()
     assert np.isfinite(summary["validation_loss"])
+
+
+def test_dyn_trainer_bcsr_format_e2e(tmp_path):
+    """Dyn training with sparse_format=bcsr: the BATCHED (vmapped) BCSR
+    controls dispatch to the batch-grid block kernels (one pallas_call per
+    SpMM under the loss vmap, ops/bcsr.py custom_vmap) through the full
+    loop."""
+    from gncde_tpu.train.trainer import Trainer
+
+    cfg = dict(
+        model=dict(
+            name="graph_neural_cde",
+            hidden_dim=4,
+            interpolation="cubic",
+            method="Tsit5",
+            return_sequence=True,
+            max_steps=64,
+            vector_field=dict(
+                name="PermEquivGraphVectorField", hidden_dim=4, num_layers=2,
+                use_control=False,
+            ),
+        ),
+        dataset=dict(
+            name="heat", batch_size=2, num_nodes=9, dynamic_graph=True,
+            all_dynamic=True, graph_type="grid", final_time=1.0, time_tick=10,
+            sampling_type="irregular", method="Tsit5", dt0=0.05,
+            interpolation="cubic", cache_dir=str(tmp_path / "cache"),
+        ),
+        optimiser=dict(
+            name="adamw", weight_decay=1e-4, gradient_clipping=True,
+            schedule=dict(name="constant_schedule", value=1e-2),
+        ),
+        loss=dict(name="MSE"),
+        epochs=2, eval_freq=1, log_freq=1, min_epochs=0,
+        checkpoint_dir=str(tmp_path / "ckpt"), checkpoint_name="t",
+        logger_name="test-dyn-bcsr",
+        wandb=dict(project="test", mode="disabled"),
+        sparse_control=True, sparse_format="bcsr", sparse_block_size=4,
+    )
+    summary = Trainer(**cfg).run()
+    assert np.isfinite(summary["validation_loss"])
