@@ -496,6 +496,88 @@ bcsr_spmm_grad.defvjp(_bsg_fwd, _bsg_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Row-slab SpMM (the node-sharded building block)
+# ---------------------------------------------------------------------------
+
+
+def _slab_spmm_xla(blocks, block_idx, Mp):
+    """XLA reference for the slab SpMM: gather Mp's row blocks by GLOBAL
+    column-block id, batched block matmuls. Mp: (NBg*bs, H) padded full
+    features; blocks: (nb_loc, kb, bs, bs)."""
+    bs = blocks.shape[-1]
+    gathered = Mp.reshape(-1, bs, Mp.shape[-1])[block_idx]  # (nb_loc,kb,bs,H)
+    out = jnp.einsum(
+        "rkab,rkbh->rah",
+        blocks.astype(jnp.float32),
+        gathered.astype(jnp.float32),
+    )
+    return out.reshape(blocks.shape[0] * bs, -1)
+
+
+@jax.custom_vjp
+def bcsr_slab_spmm(blocks, block_idx, valid, Mp):
+    """``A_slab @ M`` for a blocked-ELL ROW SLAB whose column ids index the
+    FULL padded feature matrix ``Mp`` ((NB_global*bs, H), zero-padded).
+
+    The node-sharded BCSR building block (VERDICT r4 item 1 "and/or BCSR
+    block kernels"): each device's forward AND transposed slab products are
+    LOCAL block-kernel SpMMs against the all-gathered features -- the
+    two-layout arrangement means no psum_scatter is needed for the
+    transpose pair. Differentiable: d_blocks rides the SDDMM block kernel
+    at the slab pattern (``valid`` zeroes padded slots); d_Mp is an
+    O(nnz_loc * H) XLA block scatter-add (shard_map's transpose then
+    psum-scatters it back to the owning shards). Returns (nb_loc*bs, H)
+    f32.
+    """
+    if _use_xla_fallback():
+        return _slab_spmm_xla(blocks, block_idx, Mp)
+    return _spmm_call(block_idx, blocks, Mp, interpret=False)
+
+
+def _bss_fwd(blocks, block_idx, valid, Mp):
+    out = bcsr_slab_spmm(blocks, block_idx, valid, Mp)
+    return out, (blocks, block_idx, valid, Mp)
+
+
+def _bss_bwd(res, g):
+    blocks, block_idx, valid, Mp = res
+    nb_loc, kb, bs, _ = blocks.shape
+    g = g.astype(jnp.float32)
+    # d_blocks[r, k] = g_r @ M_{idx[r,k]}^T (SDDMM at the slab pattern).
+    if _use_xla_fallback():
+        Yg = Mp.reshape(-1, bs, Mp.shape[-1])[block_idx]
+        d_blocks = jnp.einsum(
+            "rah,rkbh->rkab", g.reshape(nb_loc, bs, -1),
+            Yg.astype(jnp.float32),
+        )
+    else:
+        d_blocks = _sddmm_call(block_idx, g, Mp.astype(jnp.float32), bs,
+                               interpret=False)
+    d_blocks = d_blocks * valid[:, :, None, None]
+    # d_Mp[idx[r,k]] += blocks[r,k]^T @ g_r (block scatter-add).
+    g_blocks = g.reshape(nb_loc, bs, -1)
+    contrib = jnp.einsum(
+        "rkab,rah->rkbh", blocks.astype(jnp.float32), g_blocks
+    )
+    NBg = Mp.shape[0] // bs
+    d_Mp = (
+        jnp.zeros((NBg, bs, Mp.shape[-1]), jnp.float32)
+        .at[block_idx.reshape(-1)]
+        .add(contrib.reshape(nb_loc * kb, bs, -1))
+        .reshape(Mp.shape)
+    )
+    return (
+        d_blocks.astype(blocks.dtype),
+        _int_zero(block_idx),
+        jnp.zeros_like(valid),
+        d_Mp.astype(Mp.dtype),
+    )
+
+
+bcsr_slab_spmm.defvjp(_bss_fwd, _bss_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Model-path consumer: BCSR-valued adjacency controls (VERDICT r3 item 4)
 # ---------------------------------------------------------------------------
 

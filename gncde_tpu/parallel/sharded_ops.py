@@ -464,6 +464,185 @@ def sharded_sparse_fused_apply(
     )
 
 
+def sharded_bcsr_fused_apply(
+    blocksA, blocksdA,        # (nb_loc, kb, bs, bs) forward-layout slabs
+    blocksA_T, blocksdA_T,    # (nb_loc, kbT, bs, bs) transposed-layout slabs
+    block_idx, nblocks,       # (nb_loc, kb), (nb_loc,) GLOBAL col-block ids
+    block_idx_T, nblocks_T,
+    diag_slot,                # (nb_loc,) slot of the diagonal block
+    M_loc,                    # (n_loc, H)
+    params,
+    n: int,                   # GLOBAL node count (static); n % (G*bs) == 0
+    axis_name: str = "graph",
+    add_identity: bool = False,
+    directed: bool = False,
+):
+    """Node-sharded BLOCK-SPARSE fused basis apply: the BCSR half of the
+    kernel-keeping multi-chip path (VERDICT r4 item 1 "and/or BCSR block
+    kernels").
+
+    Each device owns the BLOCK-ROW slabs of both layouts (slice the full
+    BCSRLayout/BCSRVal along the nb axis), so BOTH heavy products are
+    LOCAL block-kernel SpMMs against the all-gathered features
+    (:func:`~gncde_tpu.ops.bcsr.bcsr_slab_spmm`):
+
+      rowpart_loc = A_slab   @ M_full    (forward layout)
+      colpart_loc = A^T_slab @ M_full    (transposed layout -- NO
+                                          psum_scatter: the two-layout
+                                          arrangement makes the transpose
+                                          pair row-local too)
+
+    plus O(n) psums for the rank-structured reductions. Differentiable:
+    the slab kernel's VJP rides the SDDMM block kernel (d_blocks) and a
+    block scatter-add (d_M, psum-scattered back by shard_map's all_gather
+    transpose). Per-device HBM is O(stored-blocks/G); the only full-width
+    object is the gathered (n, H) feature matrix.
+
+    Must run inside ``shard_map``. Returns the local (n_loc, H) slab.
+    """
+    from ..ops.bcsr import (
+        bcsr_diag,
+        bcsr_row_sums,
+        bcsr_slab_spmm,
+        slot_mask,
+    )
+
+    if directed:
+        p1, p2, p3, p4, p4p, p5, p5p, p6, p6p, p7, p8 = params
+    else:
+        p1, p2, p3, p4, p5, p6, p7, p8 = params
+    bs = blocksA.shape[-1]
+    nb_loc = blocksA.shape[0]
+    n_loc = M_loc.shape[0]
+    num_shards = jax.lax.psum(1, axis_name)
+    if nb_loc * bs != n_loc:
+        raise ValueError(
+            f"sharded_bcsr_fused_apply: slab covers {nb_loc * bs} rows but "
+            f"M_loc has {n_loc}; n must divide by shards * block_size."
+        )
+
+    # ---- O(n) reductions ---------------------------------------------------
+    rA_loc = bcsr_row_sums(blocksA, n_loc)
+    rdA_loc = bcsr_row_sums(blocksdA, n_loc)
+    sA = _psum(jnp.sum(rA_loc), axis_name)
+    sdA = _psum(jnp.sum(rdA_loc), axis_name)
+    diagA_loc = bcsr_diag(blocksA, diag_slot, n_loc)
+    diagdA_loc = bcsr_diag(blocksdA, diag_slot, n_loc)
+    if directed:
+        # Column sums of A == row sums of A^T: local on the T slabs.
+        cA_loc = bcsr_row_sums(blocksA_T, n_loc)
+        cdA_loc = bcsr_row_sums(blocksdA_T, n_loc)
+
+    # ---- feature-side reductions ------------------------------------------
+    s = _psum(jnp.sum(M_loc, axis=0), axis_name)  # colsum(M): (H,)
+    if directed:
+        v_loc = (
+            (p4p[0] * rA_loc + p4p[1] * cdA_loc)  # term_4' quirk
+            + (p5[0] * cA_loc + p5[1] * cdA_loc)
+            + (p5p[0] * rA_loc + p5p[1] * rdA_loc)
+        ) / n
+    else:
+        v_loc = (p5[0] * rA_loc + p5[1] * rdA_loc) / n
+    w = _psum(v_loc @ M_loc, axis_name)           # (H,)
+
+    # ---- all-gather + two LOCAL block-kernel SpMMs ------------------------
+    M_full = jax.lax.all_gather(M_loc, axis_name, tiled=True)  # (n, H)
+    NBg = n // bs
+    Mp = M_full
+    if NBg * bs != n:
+        raise ValueError(f"n={n} must divide by block_size={bs}")
+    valid = slot_mask(block_idx, nblocks)
+    valid_T = slot_mask(block_idx_T, nblocks_T)
+    combA = (1.0 + p1[0]) * blocksA + (1.0 + p1[1]) * blocksdA
+    combT = p2[0] * blocksA_T + p2[1] * blocksdA_T
+    rowpart = bcsr_slab_spmm(combA, block_idx, valid, Mp)[:n_loc]
+    colpart = bcsr_slab_spmm(combT, block_idx_T, valid_T, Mp)[:n_loc]
+
+    # ---- rank-structured corrections --------------------------------------
+    if directed:
+        dvec_loc = (
+            p3[0] * diagA_loc
+            + p3[1] * diagdA_loc
+            + (p6[0] * cA_loc + p6[1] * cdA_loc) / n
+            + (p6p[0] * rA_loc + p6p[1] * rdA_loc) / n
+            + (p8[0] * sA + p8[1] * sdA) / n**2
+        )
+        u_loc = (p4[0] * cA_loc + p4[1] * cdA_loc) / n
+    else:
+        dvec_loc = (
+            p3[0] * diagA_loc
+            + p3[1] * diagdA_loc
+            + (p6[0] * rA_loc + p6[1] * rdA_loc) / n
+            + (p8[0] * sA + p8[1] * sdA) / n**2
+        )
+        u_loc = (p4[0] * rA_loc + p4[1] * rdA_loc) / n
+    if add_identity:
+        dvec_loc = dvec_loc + 1.0
+    c7 = (p7[0] + p7[1]) * sA / n**2  # reference term_7 quirk: sum(A) twice
+
+    return (
+        rowpart
+        + colpart
+        + dvec_loc[:, None] * M_loc
+        + u_loc[:, None] * s[None, :]
+        + (w + c7 * s)[None, :]
+    )
+
+
+def make_sharded_bcsr_vf_eval(mesh: Mesh, vf, layout, n: int,
+                              axis_name: str = "graph"):
+    """Jitted node-sharded vf-stack evaluation over BCSR-valued planes.
+
+    ``layout``: the FULL :class:`~gncde_tpu.ops.bcsr.BCSRLayout` (its nb
+    axis is sharded by the in_specs). Returns
+    ``f(Z, blocksA, blocksdA, blocksA_T, blocksdA_T) -> (n, H)`` on full
+    arrays carried with block-row-sharded layouts.
+    """
+    try:  # jax >= 0.8
+        from jax import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    directed = (
+        type(vf.gnn_layers[0]).__name__ == "ConvEquivFusionDirectedLayer"
+    )
+
+    def local(Z_loc, bA, bdA, bAT, bdAT, bidx, nbl, bidxT, nblT, dslot):
+        feats = Z_loc
+        for i, layer in enumerate(vf.gnn_layers):
+            M_loc = layer.conv_layer.transform(feats)
+            feats = sharded_bcsr_fused_apply(
+                bA, bdA, bAT, bdAT, bidx, nbl, bidxT, nblT, dslot,
+                M_loc, layer.params, n, axis_name,
+                add_identity=True, directed=directed,
+            )
+            if i < len(vf.gnn_layers) - 1:
+                feats = jax.nn.relu(feats)
+        return feats
+
+    row = P(axis_name)
+    rowd = P(axis_name, None)
+    sharded = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis_name, None),
+                  rowd, rowd, rowd, rowd,
+                  rowd, row, rowd, row, row),
+        out_specs=P(axis_name, None),
+        check_vma=False,
+    )
+    lay = layout
+
+    def f(Z, blocksA, blocksdA, blocksA_T, blocksdA_T):
+        return sharded(
+            Z, blocksA, blocksdA, blocksA_T, blocksdA_T,
+            lay.block_idx, lay.nblocks, lay.block_idx_T, lay.nblocks_T,
+            lay.diag_slot,
+        )
+
+    return jax.jit(f)
+
+
 def sharded_equiv_conv(layer, Z_loc, A_loc, dA_loc, axis_name="graph",
                        backend="xla", tile=None, halo=None):
     """Row-sharded ConvEquivFusionLayer forward: transform locally, then
