@@ -74,3 +74,21 @@ def set_fusion_precision(name: str) -> None:
 
 def get_fusion_precision() -> str:
     return _PRECISION
+
+
+_FUSED_STEP = True
+
+
+def set_fused_step(enabled: bool) -> None:
+    """Enable/disable the fused RK-step kernel (ops/pallas/fused_step.py).
+
+    When enabled (default) and the megakernel backend serves the vector
+    field, the adaptive solver runs each explicit FSAL step as ONE
+    pallas_call (1.2x on the forward solve at the flagship shape). Disable
+    for A/B parity runs against the per-eval kernel arrangement."""
+    global _FUSED_STEP
+    _FUSED_STEP = bool(enabled)
+
+
+def get_fused_step() -> bool:
+    return _FUSED_STEP

@@ -68,32 +68,19 @@ def _layer_param_arrays(vf):
     return out
 
 
-def _make_kernel(
-    n: int, dims: tp.List[tp.Tuple[int, int]], bf16: bool, directed: bool = False
-):
-    """dims: [(Hin, Hout)] per layer; bf16 selects MXU operand precision.
+def _make_vf_body(n: int, dims: tp.List[tp.Tuple[int, int]], bf16: bool,
+                  directed: bool):
+    """The megakernel eval body as a function of VMEM *values*.
 
-    ``directed`` switches to the 11-term directed basis
-    (equiv_basis.fusion_matrix_dense_directed, reference layers.py:256-345):
-    same rank structure as the undirected 8-term basis -- B1 row part, B2^T
-    column part, diagonal vector, rank-1 outer products -- with column sums
-    (cA, cdA) joining the row sums in the diagonal/rank-1 compositions. The
-    column sums come from axis-1 reductions of the already-transposed
-    At/dAt, so the directed path adds no relayouts."""
+    Returns ``body(tau, d, c, b, a, feats, layer_refs) -> (n, Hout)`` where
+    d/c/b/a are the f32 interval coefficient planes. Shared by the per-eval
+    kernel (:func:`_make_kernel`) and the fused RK-step kernel
+    (fused_step.py), so both compile the identical eval math.
+    """
     L = len(dims)
     mm_dtype = jnp.bfloat16 if bf16 else jnp.float32
 
-    def kernel(tau_ref, d_ref, c_ref, b_ref, a_ref, z_ref, *rest):
-        layer_refs = rest[: 5 * L]
-        out_ref = rest[5 * L]
-        tau = tau_ref[0, 0]
-
-        # Coefficient planes may be stored bf16 (half the HBM traffic -- the
-        # kernel's only O(n^2) reads); Hermite evaluation runs in f32.
-        d = d_ref[:].astype(jnp.float32)
-        c = c_ref[:].astype(jnp.float32)
-        b = b_ref[:].astype(jnp.float32)
-        a = a_ref[:].astype(jnp.float32)
+    def body(tau, d, c, b, a, feats, layer_refs):
         A = ((d * tau + c) * tau + b) * tau + a  # (n, n), VMEM value
         dA = (3.0 * d * tau + 2.0 * c) * tau + b
 
@@ -121,7 +108,6 @@ def _make_kernel(
             cA = jnp.sum(At.astype(jnp.float32), axis=1, keepdims=True)
             cdA = jnp.sum(dAt.astype(jnp.float32), axis=1, keepdims=True)
 
-        feats = z_ref[:]
         for l in range(L):
             normw = layer_refs[5 * l + 0][:]
             normb = layer_refs[5 * l + 1][:]
@@ -205,7 +191,38 @@ def _make_kernel(
             if l < L - 1:
                 feats = jnp.maximum(feats, 0.0)
 
-        out_ref[:] = feats
+        return feats
+
+    return body
+
+
+def _make_kernel(
+    n: int, dims: tp.List[tp.Tuple[int, int]], bf16: bool, directed: bool = False
+):
+    """dims: [(Hin, Hout)] per layer; bf16 selects MXU operand precision.
+
+    ``directed`` switches to the 11-term directed basis
+    (equiv_basis.fusion_matrix_dense_directed, reference layers.py:256-345):
+    same rank structure as the undirected 8-term basis -- B1 row part, B2^T
+    column part, diagonal vector, rank-1 outer products -- with column sums
+    (cA, cdA) joining the row sums in the diagonal/rank-1 compositions. The
+    column sums come from axis-1 reductions of the already-transposed
+    At/dAt, so the directed path adds no relayouts."""
+    L = len(dims)
+    body = _make_vf_body(n, dims, bf16, directed)
+
+    def kernel(tau_ref, d_ref, c_ref, b_ref, a_ref, z_ref, *rest):
+        layer_refs = rest[: 5 * L]
+        out_ref = rest[5 * L]
+        tau = tau_ref[0, 0]
+
+        # Coefficient planes may be stored bf16 (half the HBM traffic -- the
+        # kernel's only O(n^2) reads); Hermite evaluation runs in f32.
+        d = d_ref[:].astype(jnp.float32)
+        c = c_ref[:].astype(jnp.float32)
+        b = b_ref[:].astype(jnp.float32)
+        a = a_ref[:].astype(jnp.float32)
+        out_ref[:] = body(tau, d, c, b, a, z_ref[:], layer_refs)
 
     return kernel
 

@@ -136,7 +136,19 @@ def _implicit_stage(tab: ButcherTableau, vf, ti, pred, h, args, k0):
 
 def _rk_step(tab: ButcherTableau, vf, t, y, h, args, f0):
     """One RK step (explicit or ESDIRK). Returns (y1, err, f1) with FSAL
-    reuse of f0. Implicit stages are solved by :func:`_implicit_stage`."""
+    reuse of f0. Implicit stages are solved by :func:`_implicit_stage`.
+
+    Explicit FSAL steps first offer the whole step to the vector field's
+    ``fused_rk_step`` hook (one Pallas kernel per step when the megakernel
+    serves the vf -- ops/pallas/fused_step.py); a None return falls through
+    to the per-stage loop below."""
+    if tab.fsal and not tab.implicit:
+        inner = getattr(vf, "vf", vf)  # unwrap ODETerm; bare vfs pass through
+        hook = getattr(inner, "fused_rk_step", None)
+        if hook is not None:
+            fused = hook(tab, t, y, h, args, f0)
+            if fused is not None:
+                return fused
     ks = []
     for i in range(tab.num_stages):
         if i == 0:

@@ -1,0 +1,199 @@
+"""Fused RK-step kernel (ops/pallas/fused_step.py) parity, interpret mode.
+
+The fused step must reproduce solve._rk_step's per-stage composition --
+values AND gradients -- and the solver hook must engage it only when the
+megakernel dispatch conditions hold (VERDICT r4 item 6)."""
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from gncde_tpu import ops as ops_cfg
+from gncde_tpu.interp import (
+    CubicInterpolation,
+    MatrixControl,
+    backward_hermite_coefficients,
+)
+from gncde_tpu.models.vector_fields import (
+    PermEquivDirGraphVectorField,
+    PermEquivGraphVectorField,
+)
+from gncde_tpu.nn import filter_value_and_grad
+from gncde_tpu.ops.pallas import fused_step as fs
+from gncde_tpu.solve import ODETerm, PIDController, SaveAt, diffeqsolve
+from gncde_tpu.solve.solve import _rk_step
+from gncde_tpu.solve.tableaus import TSIT5
+
+
+def _setup(n=24, T=6, H=8, L=2, directed=False, key=0):
+    ts = jnp.linspace(0.0, 1.0, T)
+    A_path = jr.uniform(jr.PRNGKey(key), (T, n, n)) * 0.1
+    coeffs = backward_hermite_coefficients(ts, A_path)
+    cls = PermEquivDirGraphVectorField if directed else PermEquivGraphVectorField
+    vf = cls(
+        input_dim=H, hidden_dim=H, output_dim=H, num_layers=L,
+        data_embed_dim=1, num_nodes=n, key=jr.PRNGKey(key + 1),
+    )
+    Z = jr.normal(jr.PRNGKey(key + 2), (n, H)) * 0.3
+    ctrl = MatrixControl(CubicInterpolation(ts, coeffs))
+    return vf, ctrl, Z, ts, coeffs
+
+
+@pytest.mark.parametrize("directed", [False, True])
+def test_fused_step_matches_reference_composition(directed):
+    vf, ctrl, Z, ts, coeffs = _setup(directed=directed)
+    t, h = 0.21, 0.17
+    ops_cfg.set_fusion_backend("megakernel")
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            f0 = vf(t, Z, ctrl)
+            y1, err, f1 = fs.fused_rk_step(
+                TSIT5, tuple(coeffs), ts, jnp.asarray(t), Z,
+                jnp.asarray(h), f0, vf,
+            )
+            ry1, rerr, rf1 = fs._step_reference(
+                tuple(coeffs), ts, jnp.asarray(t), Z, jnp.asarray(h), f0,
+                vf, TSIT5,
+            )
+    finally:
+        ops_cfg.set_fusion_backend("dense")
+    # The kernel's stage combos run in dense zero-padded j-order; the
+    # reference skips zero weights. Tsit5 a-rows cancel heavily (+-12
+    # coefficients), so f32 ordering noise reaches ~2e-4 relative.
+    np.testing.assert_allclose(y1, ry1, rtol=2e-3, atol=1e-5)
+    # err is a near-cancelling sum (b - b_hat weights); f32 summation order
+    # differs between the kernel (dense j-order) and the reference (skips
+    # zero weights), so compare with an absolute floor.
+    np.testing.assert_allclose(err, rerr, rtol=1e-3, atol=1e-6)
+    np.testing.assert_allclose(f1, rf1, rtol=2e-3, atol=1e-5)
+
+
+def test_fused_step_matches_rk_step_through_solver_hook():
+    """_rk_step with the hook engaged == _rk_step with the hook disabled."""
+    vf, ctrl, Z, ts, coeffs = _setup()
+    t, h = jnp.asarray(0.21), jnp.asarray(0.17)
+    term = ODETerm(vf)
+    ops_cfg.set_fusion_backend("megakernel")
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            f0 = term(t, Z, ctrl)
+            fused = _rk_step(TSIT5, term, t, Z, h, ctrl, f0)
+            ops_cfg.set_fused_step(False)
+            stagewise = _rk_step(TSIT5, term, t, Z, h, ctrl, f0)
+    finally:
+        ops_cfg.set_fused_step(True)
+        ops_cfg.set_fusion_backend("dense")
+    for a, b in zip(fused, stagewise):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-5)
+
+
+def test_fused_step_gradients_match_stagewise():
+    vf, ctrl, Z, ts, coeffs = _setup()
+    t, h = jnp.asarray(0.21), jnp.asarray(0.17)
+
+    def loss(vf_, y_, use_fused):
+        ops_cfg.set_fused_step(use_fused)
+        f0 = vf_(t, y_, ctrl)
+        y1, err, f1 = _rk_step(TSIT5, ODETerm(vf_), t, y_, h, ctrl, f0)
+        return jnp.sum(y1**2) + jnp.sum(f1 * y1) + 0.1 * jnp.sum(err**2)
+
+    ops_cfg.set_fusion_backend("megakernel")
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            lf, gvf_f = filter_value_and_grad(
+                lambda vf_, y_: loss(vf_, y_, True))(vf, Z)
+            gy_f = jax.grad(
+                lambda y_: loss(vf, y_, True))(Z)
+            ls, gvf_s = filter_value_and_grad(
+                lambda vf_, y_: loss(vf_, y_, False))(vf, Z)
+            gy_s = jax.grad(
+                lambda y_: loss(vf, y_, False))(Z)
+    finally:
+        ops_cfg.set_fused_step(True)
+        ops_cfg.set_fusion_backend("dense")
+    np.testing.assert_allclose(lf, ls, rtol=1e-5)
+    np.testing.assert_allclose(gy_f, gy_s, rtol=2e-3, atol=1e-5)
+    fl_f = jax.tree_util.tree_leaves(gvf_f)
+    fl_s = jax.tree_util.tree_leaves(gvf_s)
+    assert len(fl_f) == len(fl_s)
+    for a, b in zip(fl_f, fl_s):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-5)
+
+
+def test_fused_step_vmap_batches_to_one_kernel():
+    """The loss-level batch vmap must dispatch ONE pallas_call per step and
+    agree with per-example calls."""
+    vf, ctrl, Z, ts, coeffs = _setup()
+    B = 3
+    Zb = jr.normal(jr.PRNGKey(9), (B,) + Z.shape) * 0.3
+    coeffs_b = tuple(
+        jnp.stack([c * (1.0 + 0.1 * i) for i in range(B)]) for c in coeffs
+    )
+    t, h = jnp.asarray(0.21), jnp.asarray(0.17)
+
+    def one(cf, y):
+        ctrl_i = MatrixControl(CubicInterpolation(ts, cf))
+        f0 = vf(t, y, ctrl_i)
+        return _rk_step(TSIT5, ODETerm(vf), t, y, h, ctrl_i, f0)
+
+    ops_cfg.set_fusion_backend("megakernel")
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            batched = jax.vmap(one)(coeffs_b, Zb)
+            singles = [one(
+                tuple(c[i] for c in coeffs_b), Zb[i]) for i in range(B)]
+        jaxpr = str(jax.make_jaxpr(lambda cf, y: jax.vmap(one)(cf, y))(
+            coeffs_b, Zb))
+        # one fused-step call + the batched f0 eval
+        assert jaxpr.count("pallas_call") == 2
+    finally:
+        ops_cfg.set_fusion_backend("dense")
+    for i in range(B):
+        for a, b in zip([x[i] for x in batched], singles[i]):
+            np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-5)
+
+
+def test_diffeqsolve_engages_fused_step_and_matches():
+    """Full solve parity, fixed steps: fused-step on == off. (Under the
+    adaptive PID controller the ~2e-4 per-step f32 ordering noise flips
+    individual accept/reject decisions, so strict trajectory parity is only
+    well-posed at fixed steps; the adaptive case is sanity-checked loosely
+    below.)"""
+    from gncde_tpu.solve import ConstantStepSize
+
+    vf, ctrl, Z, ts, coeffs = _setup()
+    term = ODETerm(vf)
+    save = SaveAt(ts=ts)
+
+    def solve_fixed():
+        return diffeqsolve(
+            term, "Tsit5", 0.0, 1.0, 0.05, Z, args=ctrl,
+            saveat=save, stepsize_controller=ConstantStepSize(),
+            max_steps=64,
+        ).ys
+
+    def solve_adaptive():
+        return diffeqsolve(
+            term, "Tsit5", 0.0, 1.0, None, Z, args=ctrl,
+            saveat=save,
+            stepsize_controller=PIDController(rtol=1e-3, atol=1e-6),
+            max_steps=256,
+        ).ys
+
+    ops_cfg.set_fusion_backend("megakernel")
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            ys_fused = solve_fixed()
+            ya_fused = solve_adaptive()
+            ops_cfg.set_fused_step(False)
+            ys_stage = solve_fixed()
+            ya_stage = solve_adaptive()
+    finally:
+        ops_cfg.set_fused_step(True)
+        ops_cfg.set_fusion_backend("dense")
+    np.testing.assert_allclose(ys_fused, ys_stage, rtol=5e-3, atol=1e-4)
+    # Adaptive: both land within the controller's tolerance of each other.
+    assert float(jnp.max(jnp.abs(ya_fused - ya_stage))) < 0.05
