@@ -76,16 +76,23 @@ def get_fusion_precision() -> str:
     return _PRECISION
 
 
-_FUSED_STEP = True
+_FUSED_STEP = False
 
 
 def set_fused_step(enabled: bool) -> None:
-    """Enable/disable the fused RK-step kernel (ops/pallas/fused_step.py).
+    """Enable the fused RK-step kernel (ops/pallas/fused_step.py): one
+    pallas_call per explicit FSAL solver step when the megakernel backend
+    serves the vector field.
 
-    When enabled (default) and the megakernel backend serves the vector
-    field, the adaptive solver runs each explicit FSAL step as ONE
-    pallas_call (1.2x on the forward solve at the flagship shape). Disable
-    for A/B parity runs against the per-eval kernel arrangement."""
+    DEFAULT OFF -- a documented negative (PERFORMANCE.md round-5 item-6
+    section): the step kernel wins the chained microbenchmark (1.10x,
+    benchmarks/mk_probe7.py, reproduced 3x) but is performance-neutral on
+    the production fixed-step solve and ~4% slower on the adaptive train
+    step on v5e, because XLA already overlaps the per-eval kernels'
+    launch/DMA with the solver glue that the monolithic kernel serialises.
+    The path stays fully tested (tests/test_fused_step.py: value + gradient
+    parity incl. a zero-recompute manual RK chain-rule backward) for
+    environments where per-call overhead dominates."""
     global _FUSED_STEP
     _FUSED_STEP = bool(enabled)
 

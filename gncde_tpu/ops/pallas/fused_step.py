@@ -83,7 +83,12 @@ def _tableau_arrays(tab) -> tp.Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndar
     return amat, bvec, berr, cvec
 
 
-def _make_step_kernel(n, dims, bf16, directed, s_eval, n_layer_refs):
+def _make_step_kernel(n, dims, bf16, directed, s_eval, n_layer_refs,
+                      with_ks):
+    """``with_ks``: emit the stage derivatives as a 4th output (B, S, n, H)
+    instead of keeping them in scratch -- the manual-chain backward consumes
+    them, so the differentiated forward pays one extra O(S n H) write and
+    the backward runs ZERO forward recomputation."""
     body = _make_vf_body(n, list(dims), bf16, directed)
 
     def kernel(idx_sref, tau_sref, h_sref, amat_ref, bvec_ref, berr_ref,
@@ -93,7 +98,7 @@ def _make_step_kernel(n, dims, bf16, directed, s_eval, n_layer_refs):
         y1_ref = rest[n_layer_refs]
         err_ref = rest[n_layer_refs + 1]
         f1_ref = rest[n_layer_refs + 2]
-        ks_ref = rest[n_layer_refs + 3]
+        ks_ref = rest[n_layer_refs + 3]  # output block or scratch: (S, n, H)
         i = pl.program_id(0)
         s = pl.program_id(1)
         tau = tau_sref[i, s]
@@ -137,8 +142,10 @@ def _make_step_kernel(n, dims, bf16, directed, s_eval, n_layer_refs):
 
 
 def _step_call(coeffs, coeffs_batched, idx_bs, tau_bs, h_b, Y_b, F0_b,
-               layer_arrays, tab_np, n, dims, bf16, directed):
-    """Batched fused step: grid (B, s_eval), k's in VMEM scratch."""
+               layer_arrays, tab_np, n, dims, bf16, directed,
+               with_ks=False):
+    """Batched fused step: grid (B, s_eval); k's in VMEM scratch, or in a
+    4th output when ``with_ks`` (for the manual-chain backward)."""
     d, c, b, a = coeffs
     amat, bvec, berr, _ = tab_np
     s_eval = amat.shape[0]
@@ -149,7 +156,7 @@ def _step_call(coeffs, coeffs_batched, idx_bs, tau_bs, h_b, Y_b, F0_b,
         for key in ("norm_w", "norm_b", "W", "lin_b", "basis"):
             flat_layers.append(la[key])
     kernel = _make_step_kernel(n, tuple(dims), bf16, directed, s_eval,
-                               len(flat_layers))
+                               len(flat_layers), with_ks)
 
     if coeffs_batched:
         plane_spec = pl.BlockSpec(
@@ -170,25 +177,37 @@ def _step_call(coeffs, coeffs_batched, idx_bs, tau_bs, h_b, Y_b, F0_b,
     in_specs = [plane_spec] * 4 + [nh_spec, nh_spec] + [
         pl.BlockSpec(memory_space=pltpu.VMEM)
     ] * len(flat_layers)
+    out_specs = [nh_spec, nh_spec, nh_spec]
+    out_shape = [jax.ShapeDtypeStruct((B, n, H_in), jnp.float32)] * 3
+    scratch_shapes = [pltpu.VMEM((s_eval, n, H_in), jnp.float32)]
+    if with_ks:
+        out_specs.append(pl.BlockSpec(
+            (None, s_eval, n, H_in),
+            lambda i, s, idx, tau, h, am, bv, be: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ))
+        out_shape.append(
+            jax.ShapeDtypeStruct((B, s_eval, n, H_in), jnp.float32))
+        scratch_shapes = []
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,  # idx, tau, h, amat, bvec, berr
         grid=(B, s_eval),
         in_specs=in_specs,
-        out_specs=[nh_spec, nh_spec, nh_spec],
-        scratch_shapes=[pltpu.VMEM((s_eval, n, H_in), jnp.float32)],
+        out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
     )
-    y1, err, f1 = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((B, n, H_in), jnp.float32)] * 3,
+        out_shape=out_shape,
     )(idx_bs.astype(jnp.int32), tau_bs.astype(jnp.float32),
       h_b.astype(jnp.float32), jnp.asarray(amat), jnp.asarray(bvec),
       jnp.asarray(berr), d, c, b, a, Y_b, F0_b, *flat_layers)
-    return y1, err, f1
+    return tuple(out)
 
 
 @functools.lru_cache(maxsize=None)
-def _fused_step_forward(n, dims, bf16, directed, tab_key):
+def _fused_step_forward(n, dims, bf16, directed, tab_key, with_ks=False):
     """custom_vmap-wrapped step forward for one (shape, tableau) pair.
 
     The unbatched call runs the same (1, s_eval)-grid kernel; the solve-level
@@ -198,15 +217,17 @@ def _fused_step_forward(n, dims, bf16, directed, tab_key):
     import jax.custom_batching
 
     tab_np = _TAB_CACHE[tab_key]
+    n_out = 4 if with_ks else 3
 
     @jax.custom_batching.custom_vmap
     def step(coeffs, idx_s, tau_s, y, h, f0, layer_arrays):
-        y1, err, f1 = _step_call(
+        out = _step_call(
             coeffs, False,
             idx_s[None], tau_s[None], h[None], y[None], f0[None],
             layer_arrays, tab_np, n, list(dims), bf16, directed,
+            with_ks=with_ks,
         )
-        return y1[0], err[0], f1[0]
+        return tuple(o[0] for o in out)
 
     @step.def_vmap
     def _rule(axis_size, in_batched, coeffs, idx_s, tau_s, y, h, f0,
@@ -222,7 +243,7 @@ def _fused_step_forward(n, dims, bf16, directed, tab_key):
             out = jax.vmap(step, in_axes=tuple(axes))(
                 coeffs, idx_s, tau_s, y, h, f0, layer_arrays
             )
-            return out, (True, True, True)
+            return out, (True,) * n_out
         s_eval = tab_np[0].shape[0]
         idx_b = idx_s if in_batched[1] else jnp.broadcast_to(
             idx_s, (axis_size, s_eval))
@@ -234,8 +255,9 @@ def _fused_step_forward(n, dims, bf16, directed, tab_key):
         f0_b = f0 if in_batched[5] else jnp.broadcast_to(
             f0, (axis_size,) + f0.shape)
         out = _step_call(coeffs, cb, idx_b, tau_b, h_b, y_b, f0_b,
-                         layer_arrays, tab_np, n, list(dims), bf16, directed)
-        return out, (True, True, True)
+                         layer_arrays, tab_np, n, list(dims), bf16, directed,
+                         with_ks=with_ks)
+        return out, (True,) * n_out
 
     return step
 
@@ -278,30 +300,48 @@ def _step_reference(coeffs, ts, t, y, h, f0, vf, tab):
     return y1, err, ks[-1]
 
 
+def _dispatch_args(vf, y):
+    from ... import ops as ops_config
+
+    n = y.shape[0]
+    dims = tuple(
+        (l.conv_layer.linear.in_features, l.conv_layer.linear.out_features)
+        for l in vf.gnn_layers
+    )
+    bf16 = ops_config.get_fusion_precision() == "bf16"
+    directed = (
+        type(vf.gnn_layers[0]).__name__ == "ConvEquivFusionDirectedLayer"
+    )
+    return n, dims, bf16, directed
+
+
+def _stage_nodes(tab_key, ts, t, h):
+    _, _, _, cvec = _TAB_CACHE[tab_key]
+    t_stages = t + jnp.asarray(cvec) * h  # (s_eval,)
+    iv = jax.vmap(lambda tt: jnp.stack(_interval(ts, tt)))(t_stages)
+    return iv[:, 0].astype(jnp.int32), iv[:, 1]
+
+
 @functools.lru_cache(maxsize=None)
 def _fused_step_vjp(tab_key):
-    """The custom_vjp-wrapped fused step for one tableau."""
+    """The custom_vjp-wrapped fused step for one tableau.
+
+    Primal-only execution (inference/eval solves) runs the scratch-ks kernel.
+    Under differentiation the forward emits the stage derivatives k_1..k_S
+    as a 4th kernel output and the backward applies the explicit-RK chain
+    rule MANUALLY: per stage (reverse order) one fused backward megakernel
+    (megakernel_bwd.megakernel_vf_bwd) on the reconstructed stage input,
+    plus O(nH) accumulator glue -- ZERO forward recomputation, unlike a
+    jax.vjp over the stage composition (which re-runs all S forward evals
+    to build its linearisation; measured +16% on the fixed-step train step).
+    """
     tab = _TAB_OBJ_CACHE[tab_key]
 
     @jax.custom_vjp
     def fused_step(coeffs, ts, t, y, h, f0, vf):
-        from ... import ops as ops_config
-
-        n = y.shape[0]
-        dims = tuple(
-            (l.conv_layer.linear.in_features, l.conv_layer.linear.out_features)
-            for l in vf.gnn_layers
-        )
-        bf16 = ops_config.get_fusion_precision() == "bf16"
-        directed = (
-            type(vf.gnn_layers[0]).__name__ == "ConvEquivFusionDirectedLayer"
-        )
+        n, dims, bf16, directed = _dispatch_args(vf, y)
         layer_arrays = _layer_param_arrays(vf)
-        _, _, _, cvec = _TAB_CACHE[tab_key]
-        t_stages = t + jnp.asarray(cvec) * h  # (s_eval,)
-        iv = jax.vmap(lambda tt: jnp.stack(_interval(ts, tt)))(t_stages)
-        idx_s = iv[:, 0].astype(jnp.int32)
-        tau_s = iv[:, 1]
+        idx_s, tau_s = _stage_nodes(tab_key, ts, t, h)
         fwd = _fused_step_forward(n, dims, bf16, directed, tab_key)
         return fwd(coeffs, idx_s, tau_s, y, h, f0, layer_arrays)
 
@@ -314,39 +354,120 @@ def _fused_step_vjp(tab_key):
             _unwrap(coeffs), _unwrap(ts), _unwrap(t), _unwrap(y),
             _unwrap(h), _unwrap(f0), _unwrap(vf),
         )
-        out = fused_step(coeffs_v, ts_v, t_v, y_v, h_v, f0_v, vf_v)
-        return out, (coeffs_v, ts_v, t_v, y_v, h_v, f0_v, vf_v, needs)
+        n, dims, bf16, directed = _dispatch_args(vf_v, y_v)
+        layer_arrays = _layer_param_arrays(vf_v)
+        idx_s, tau_s = _stage_nodes(tab_key, ts_v, t_v, h_v)
+        fwd = _fused_step_forward(n, dims, bf16, directed, tab_key,
+                                  with_ks=True)
+        y1, err, f1, ks = fwd(coeffs_v, idx_s, tau_s, y_v, h_v, f0_v,
+                              layer_arrays)
+        return (y1, err, f1), (
+            coeffs_v, ts_v, t_v, y_v, h_v, f0_v, vf_v, ks, needs,
+        )
 
     def _bwd(res, g):
-        coeffs, ts, t, y, h, f0, vf, needs = res
+        import operator
+
+        from .megakernel import _bwd_max_n
+        from .megakernel_bwd import megakernel_vf_bwd
+
+        coeffs, ts, t, y, h, f0, vf, ks, needs = res
         need_coeffs, need_t, need_y, need_h, need_f0, need_vf = needs
         SymZero = jax.custom_derivatives.SymbolicZero
         if all(isinstance(gi, SymZero) for gi in g):
             return (None,) * 7
-        g = tuple(
+        g_y1, g_err, g_f1 = (
             jnp.zeros(gi.shape, gi.dtype) if isinstance(gi, SymZero) else gi
             for gi in g
         )
-        if need_coeffs:
-            def f(coeffs_, t_, y_, h_, f0_, vf_):
-                return _step_reference(coeffs_, ts, t_, y_, h_, f0_, vf_, tab)
+        n = y.shape[0]
 
-            _, vjp = jax.vjp(f, coeffs, t, y, h, f0, vf)
-            d_coeffs, d_t, d_y, d_h, d_f0, d_vf = vjp(g)
-        else:
-            def f(t_, y_, h_, f0_, vf_):
-                return _step_reference(coeffs, ts, t_, y_, h_, f0_, vf_, tab)
+        if need_coeffs or n > _bwd_max_n():
+            # Rare paths (perturbed coefficient planes; the 512 < n <= 640
+            # sliver where the backward megakernel's VMEM doesn't fit):
+            # jax.vjp over the per-eval composition.
+            gg = (g_y1, g_err, g_f1)
+            if need_coeffs:
+                def f(coeffs_, t_, y_, h_, f0_, vf_):
+                    return _step_reference(
+                        coeffs_, ts, t_, y_, h_, f0_, vf_, tab)
 
-            _, vjp = jax.vjp(f, t, y, h, f0, vf)
-            d_t, d_y, d_h, d_f0, d_vf = vjp(g)
-            d_coeffs = None
+                _, vjp = jax.vjp(f, coeffs, t, y, h, f0, vf)
+                d_coeffs, d_t, d_y, d_h, d_f0, d_vf = vjp(gg)
+            else:
+                def f(t_, y_, h_, f0_, vf_):
+                    return _step_reference(
+                        coeffs, ts, t_, y_, h_, f0_, vf_, tab)
+
+                _, vjp = jax.vjp(f, t, y, h, f0, vf)
+                d_t, d_y, d_h, d_f0, d_vf = vjp(gg)
+                d_coeffs = None
+            return (
+                d_coeffs, None,
+                d_t if need_t else None,
+                d_y if need_y else None,
+                d_h if need_h else None,
+                d_f0 if need_f0 else None,
+                d_vf if need_vf else None,
+            )
+
+        # Manual explicit-RK chain rule over the kernel-stored stage
+        # derivatives. Stage i (1-based) evaluates k_i = f(t_i, Yi_i) with
+        # t_i = t + c_i h, Yi_i = y + h sum_{j<i} a_ij k_j; the outputs are
+        # y1 = y + h sum_j b_j k_j, err = h sum_j e_j k_j, f1 = k_S.
+        amat, bvec, berr, cvec = _TAB_CACHE[tab_key]
+        s_eval = amat.shape[0]
+        k = [f0] + [ks[j] for j in range(s_eval)]  # k[0]=f0, k[i]=stage i
+
+        def dot(x, gv):
+            return jnp.sum(x * gv)
+
+        kbar = [
+            h * (float(bvec[j]) * g_y1 + float(berr[j]) * g_err)
+            for j in range(s_eval + 1)
+        ]
+        kbar[s_eval] = kbar[s_eval] + g_f1
+        ybar = g_y1
+        hbar = sum(
+            float(bvec[j]) * dot(k[j], g_y1) + float(berr[j]) * dot(k[j], g_err)
+            for j in range(s_eval + 1)
+        )
+        tbar = jnp.zeros_like(t)
+        d_vf = None
+        want_dt = need_t or need_h
+        for i in range(s_eval, 0, -1):
+            t_i = t + float(cvec[i - 1]) * h
+            acc = None
+            for j in range(i):
+                aij = float(amat[i - 1, j])
+                if aij == 0.0:
+                    continue
+                term = aij * k[j]
+                acc = term if acc is None else acc + term
+            Yi = y if acc is None else y + h * acc
+            d_ti, d_Yi, d_vf_i = megakernel_vf_bwd(
+                coeffs, ts, t_i, Yi, vf, kbar[i], need_t=want_dt
+            )
+            if want_dt:
+                tbar = tbar + d_ti
+                hbar = hbar + float(cvec[i - 1]) * d_ti
+            ybar = ybar + d_Yi
+            if acc is not None:
+                hbar = hbar + dot(acc, d_Yi)
+            for j in range(i):
+                aij = float(amat[i - 1, j])
+                if aij != 0.0:
+                    kbar[j] = kbar[j] + (h * aij) * d_Yi
+            d_vf = d_vf_i if d_vf is None else jax.tree_util.tree_map(
+                operator.add, d_vf, d_vf_i
+            )
         return (
-            d_coeffs,
+            None,
             None,  # ts: knot grid, never differentiated
-            d_t if need_t else None,
-            d_y if need_y else None,
-            d_h if need_h else None,
-            d_f0 if need_f0 else None,
+            tbar if need_t else None,
+            ybar if need_y else None,
+            hbar if need_h else None,
+            kbar[0] if need_f0 else None,
             d_vf if need_vf else None,
         )
 

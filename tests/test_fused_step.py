@@ -77,6 +77,7 @@ def test_fused_step_matches_rk_step_through_solver_hook():
     t, h = jnp.asarray(0.21), jnp.asarray(0.17)
     term = ODETerm(vf)
     ops_cfg.set_fusion_backend("megakernel")
+    ops_cfg.set_fused_step(True)
     try:
         with pltpu.force_tpu_interpret_mode():
             f0 = term(t, Z, ctrl)
@@ -84,7 +85,7 @@ def test_fused_step_matches_rk_step_through_solver_hook():
             ops_cfg.set_fused_step(False)
             stagewise = _rk_step(TSIT5, term, t, Z, h, ctrl, f0)
     finally:
-        ops_cfg.set_fused_step(True)
+        ops_cfg.set_fused_step(False)
         ops_cfg.set_fusion_backend("dense")
     for a, b in zip(fused, stagewise):
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-5)
@@ -112,7 +113,7 @@ def test_fused_step_gradients_match_stagewise():
             gy_s = jax.grad(
                 lambda y_: loss(vf, y_, False))(Z)
     finally:
-        ops_cfg.set_fused_step(True)
+        ops_cfg.set_fused_step(False)
         ops_cfg.set_fusion_backend("dense")
     np.testing.assert_allclose(lf, ls, rtol=1e-5)
     np.testing.assert_allclose(gy_f, gy_s, rtol=2e-3, atol=1e-5)
@@ -121,6 +122,31 @@ def test_fused_step_gradients_match_stagewise():
     assert len(fl_f) == len(fl_s)
     for a, b in zip(fl_f, fl_s):
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-5)
+
+
+def test_fused_step_time_and_stepsize_gradients_match():
+    """The manual chain rule's t/h cotangents (tbar/hbar accumulators) vs
+    the stagewise composition."""
+    vf, ctrl, Z, ts, coeffs = _setup()
+
+    def loss(th, use_fused):
+        t_, h_ = th
+        ops_cfg.set_fused_step(use_fused)
+        f0 = vf(t_, Z, ctrl)
+        y1, err, f1 = _rk_step(TSIT5, ODETerm(vf), t_, Z, h_, ctrl, f0)
+        return jnp.sum(y1**2) + jnp.sum(f1 * y1) + 0.1 * jnp.sum(err**2)
+
+    th = (jnp.asarray(0.21), jnp.asarray(0.17))
+    ops_cfg.set_fusion_backend("megakernel")
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            gt_f, gh_f = jax.grad(lambda p: loss(p, True))(th)
+            gt_s, gh_s = jax.grad(lambda p: loss(p, False))(th)
+    finally:
+        ops_cfg.set_fused_step(False)
+        ops_cfg.set_fusion_backend("dense")
+    np.testing.assert_allclose(gt_f, gt_s, rtol=5e-3, atol=1e-4)
+    np.testing.assert_allclose(gh_f, gh_s, rtol=5e-3, atol=1e-4)
 
 
 def test_fused_step_vmap_batches_to_one_kernel():
@@ -140,6 +166,7 @@ def test_fused_step_vmap_batches_to_one_kernel():
         return _rk_step(TSIT5, ODETerm(vf), t, y, h, ctrl_i, f0)
 
     ops_cfg.set_fusion_backend("megakernel")
+    ops_cfg.set_fused_step(True)
     try:
         with pltpu.force_tpu_interpret_mode():
             batched = jax.vmap(one)(coeffs_b, Zb)
@@ -150,6 +177,7 @@ def test_fused_step_vmap_batches_to_one_kernel():
         # one fused-step call + the batched f0 eval
         assert jaxpr.count("pallas_call") == 2
     finally:
+        ops_cfg.set_fused_step(False)
         ops_cfg.set_fusion_backend("dense")
     for i in range(B):
         for a, b in zip([x[i] for x in batched], singles[i]):
@@ -184,6 +212,7 @@ def test_diffeqsolve_engages_fused_step_and_matches():
         ).ys
 
     ops_cfg.set_fusion_backend("megakernel")
+    ops_cfg.set_fused_step(True)
     try:
         with pltpu.force_tpu_interpret_mode():
             ys_fused = solve_fixed()
@@ -192,7 +221,7 @@ def test_diffeqsolve_engages_fused_step_and_matches():
             ys_stage = solve_fixed()
             ya_stage = solve_adaptive()
     finally:
-        ops_cfg.set_fused_step(True)
+        ops_cfg.set_fused_step(False)
         ops_cfg.set_fusion_backend("dense")
     np.testing.assert_allclose(ys_fused, ys_stage, rtol=5e-3, atol=1e-4)
     # Adaptive: both land within the controller's tolerance of each other.
