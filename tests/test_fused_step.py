@@ -42,8 +42,16 @@ def _setup(n=24, T=6, H=8, L=2, directed=False, key=0):
     return vf, ctrl, Z, ts, coeffs
 
 
-@pytest.mark.parametrize("directed", [False, True])
-def test_fused_step_matches_reference_composition(directed):
+@pytest.mark.parametrize("directed,tab_name", [
+    (False, "tsit5"), (True, "tsit5"), (False, "dopri5"), (False, "bosh3"),
+])
+def test_fused_step_matches_reference_composition(directed, tab_name):
+    """The step kernel is tableau-generic (stage count + SMEM rows): cover
+    every explicit FSAL tableau the solver ships."""
+    from gncde_tpu.solve.tableaus import get_tableau
+
+    tab = get_tableau({"tsit5": "Tsit5", "dopri5": "Dopri5",
+                       "bosh3": "Bosh3"}[tab_name])
     vf, ctrl, Z, ts, coeffs = _setup(directed=directed)
     t, h = 0.21, 0.17
     ops_cfg.set_fusion_backend("megakernel")
@@ -51,12 +59,12 @@ def test_fused_step_matches_reference_composition(directed):
         with pltpu.force_tpu_interpret_mode():
             f0 = vf(t, Z, ctrl)
             y1, err, f1 = fs.fused_rk_step(
-                TSIT5, tuple(coeffs), ts, jnp.asarray(t), Z,
+                tab, tuple(coeffs), ts, jnp.asarray(t), Z,
                 jnp.asarray(h), f0, vf,
             )
             ry1, rerr, rf1 = fs._step_reference(
                 tuple(coeffs), ts, jnp.asarray(t), Z, jnp.asarray(h), f0,
-                vf, TSIT5,
+                vf, tab,
             )
     finally:
         ops_cfg.set_fusion_backend("dense")
