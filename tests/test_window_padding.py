@@ -119,14 +119,16 @@ def test_ragged_tgb_windows_stack_to_one_group_with_matching_loss():
         ),
     ).build(jr.PRNGKey(0))
 
-    tr = TGBTrainer.__new__(TGBTrainer)
+    # _loss became an instance method with the round-5 ranking objectives
+    # (loss_type dispatch); build a bare instance with the CE defaults.
+    tr = TGBTrainer.model_construct(loss_type="ce")
     per_window = [
-        float(TGBTrainer._loss(model, tr._data_tuple(model, w)))
+        float(tr._loss(model, tr._data_tuple(model, w)))
         for w in windows
     ]
     stacked = stack_windows(windows)
     assert len(stacked) == 1
-    loss = float(TGBTrainer._loss(model, tr._data_tuple(model, stacked[0])))
+    loss = float(tr._loss(model, tr._data_tuple(model, stacked[0])))
     # TGB models rebuild the data-path coefficients from the padded knots in
     # the forward (models/tgb.py:96-104); repeated knots reproduce the end
     # value exactly and the derivative to solver-step accuracy.
