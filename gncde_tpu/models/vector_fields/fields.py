@@ -235,6 +235,21 @@ def _enc_idx_pallas_eval(vf, control_adj, t, node_features):
     return _tiled.tiled_vf_eval_planes(A_m, dA_m, node_features, vf)
 
 
+def _pallas_plane_dispatch_ok(control_adj) -> bool:
+    """The shared outer gate for every Pallas plane-surface fast path
+    (per-eval megakernel/tiled dispatch AND the fused RK-step hook): the
+    megakernel backend is selected, the control's time-gradient is the
+    implicit unit channel, and the path is a cubic Hermite interpolation
+    whose interval planes the kernels can slice."""
+    from ... import ops as ops_config
+
+    return (
+        ops_config.get_fusion_backend() == "megakernel"
+        and getattr(control_adj, "tgrad_is_unit", False)
+        and type(control_adj.path).__name__ == "CubicInterpolation"
+    )
+
+
 def _fused_rk_step_hook(vf, tab, t, y, h, args, f0):
     """Step-level fast path (solve._rk_step hook): run one explicit FSAL RK
     step as ONE Pallas kernel when the per-eval dispatch would use the
@@ -250,11 +265,7 @@ def _fused_rk_step_hook(vf, tab, t, y, h, args, f0):
         return None
     if not ops_config.get_fused_step():
         return None
-    if ops_config.get_fusion_backend() != "megakernel":
-        return None
-    if not getattr(control_adj, "tgrad_is_unit", False):
-        return None
-    if type(control_adj.path).__name__ != "CubicInterpolation":
+    if not _pallas_plane_dispatch_ok(control_adj):
         return None
     from ...ops.pallas import megakernel as _mk
 
@@ -343,11 +354,7 @@ class PermEquivGraphVectorField(Module):
 
         from ... import ops as ops_config
 
-        if (
-            ops_config.get_fusion_backend() == "megakernel"
-            and getattr(control_adj, "tgrad_is_unit", False)
-            and type(control_adj.path).__name__ == "CubicInterpolation"
-        ):
+        if _pallas_plane_dispatch_ok(control_adj):
             from ...ops.pallas import megakernel as _mk
             from ...ops.pallas import tiled as _tiled
 
@@ -444,11 +451,7 @@ class PermEquivDirGraphVectorField(Module):
 
         from ... import ops as ops_config
 
-        if (
-            ops_config.get_fusion_backend() == "megakernel"
-            and getattr(control_adj, "tgrad_is_unit", False)
-            and type(control_adj.path).__name__ == "CubicInterpolation"
-        ):
+        if _pallas_plane_dispatch_ok(control_adj):
             from ...ops.pallas import megakernel as _mk
             from ...ops.pallas import tiled as _tiled
 

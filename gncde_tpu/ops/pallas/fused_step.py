@@ -219,8 +219,7 @@ def _fused_step_forward(n, dims, bf16, directed, tab_key, with_ks=False):
     tab_np = _TAB_CACHE[tab_key]
     n_out = 4 if with_ks else 3
 
-    @jax.custom_batching.custom_vmap
-    def step(coeffs, idx_s, tau_s, y, h, f0, layer_arrays):
+    def _unbatched(coeffs, idx_s, tau_s, y, h, f0, layer_arrays):
         out = _step_call(
             coeffs, False,
             idx_s[None], tau_s[None], h[None], y[None], f0[None],
@@ -228,6 +227,10 @@ def _fused_step_forward(n, dims, bf16, directed, tab_key, with_ks=False):
             with_ks=with_ks,
         )
         return tuple(o[0] for o in out)
+
+    @jax.custom_batching.custom_vmap
+    def step(coeffs, idx_s, tau_s, y, h, f0, layer_arrays):
+        return _unbatched(coeffs, idx_s, tau_s, y, h, f0, layer_arrays)
 
     @step.def_vmap
     def _rule(axis_size, in_batched, coeffs, idx_s, tau_s, y, h, f0,
@@ -237,10 +240,14 @@ def _fused_step_forward(n, dims, bf16, directed, tab_key, with_ks=False):
         mixed_coeffs = any(coeff_flags) and not cb
         params_batched = any(jax.tree_util.tree_leaves(in_batched[6]))
         if params_batched or mixed_coeffs:
+            # Per-element parameters / partially-batched coeffs (no trainer
+            # does this): generic vmap of the UNWRAPPED impl -- vmapping
+            # `step` itself would re-enter this rule with identical flags
+            # and recurse forever (same pattern as megakernel._fused_forward).
             axes = jax.tree_util.tree_map(
                 lambda bt: 0 if bt else None, in_batched
             )
-            out = jax.vmap(step, in_axes=tuple(axes))(
+            out = jax.vmap(_unbatched, in_axes=tuple(axes))(
                 coeffs, idx_s, tau_s, y, h, f0, layer_arrays
             )
             return out, (True,) * n_out
@@ -490,4 +497,13 @@ def fused_rk_step(tab, coeffs, ts, t, y, h, f0, vf):
     if key not in _TAB_CACHE:
         _TAB_CACHE[key] = _tableau_arrays(tab)
         _TAB_OBJ_CACHE[key] = tab
+    elif _TAB_OBJ_CACHE[key] != tab:
+        # The caches (and the lru_cached vjp/forward builders) key on
+        # tab.name; a DIFFERENT tableau reusing a seen name would silently
+        # integrate with the first tableau's coefficients.
+        raise ValueError(
+            f"fused_rk_step: tableau name {key!r} was already registered "
+            "with different coefficients; give distinct tableaus distinct "
+            "names"
+        )
     return _fused_step_vjp(key)(coeffs, ts, t, y, h, f0, vf)
